@@ -1,0 +1,121 @@
+"""Triple extraction: repo_files → (subj, pred, obj) string triples.
+
+Reference analog: the NT line-scan + regex parse at
+/root/reference/load_kb.py:9-10,61-96 — there, triples come from an NT
+file; here (per the north rule) they are *mention-detected* from source
+code content with Arrow-batched pandas UDFs (no per-row Python):
+
+    repo   --contains-->   file
+    file   --written_in--> lang
+    file   --imports-->    module      (regex over content)
+    file   --defines-->    symbol      (regex over content)
+
+The emitted triple set is exact and deduplicated, matching the boolean
+adjacency-tensor semantics of /root/reference/load_kb.py:169-172.
+
+Scale notes: extraction is embarrassingly parallel (narrow ops up to the
+final dedup). The dedup groups by (subj, pred, obj); `pred` is extremely
+hot (4 values) so it must NOT be the leading shuffle key alone — Spark
+hash-partitions on all three columns, which distributes fine. Column
+pruning pushes `content` reads only into the two regex branches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# Portable across Python re / Java regex / RE2 (DuckDB oracle).
+IMPORT_PATTERN = r"(?:^|\n)[ \t]*(?:import|from)[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"
+DEFINE_PATTERN = r"(?:^|\n)[ \t]*(?:def|class)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+
+PREDICATES = ("contains", "written_in", "imports", "defines")
+
+_import_re = re.compile(IMPORT_PATTERN)
+_define_re = re.compile(DEFINE_PATTERN)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_imports(content: pd.Series) -> pd.Series:
+    """Arrow-batched mention detector for imported modules."""
+    return content.str.findall(_import_re)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_defines(content: pd.Series) -> pd.Series:
+    """Arrow-batched mention detector for defined symbols."""
+    return content.str.findall(_define_re)
+
+
+def file_entity() -> F.Column:
+    return F.concat(F.lit("file:"), F.col("repo"), F.lit("/"), F.col("path"))
+
+
+def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
+    """repo_files → distinct (subj, pred, obj) string triples.
+
+    ``use_pandas_udf=False`` swaps the mention detectors for Spark's JVM-side
+    ``regexp_extract_all`` (identical semantics, no Python worker boundary) —
+    the fast path when regexes suffice; the pandas-UDF path is the general
+    mention-detection hook (tokenizers, tree-sitter, …).
+    """
+    fe = file_entity()
+
+    contains = repo_files.select(
+        F.concat(F.lit("repo:"), F.col("repo")).alias("subj"),
+        F.lit("contains").alias("pred"),
+        fe.alias("obj"),
+    )
+    written_in = repo_files.select(
+        fe.alias("subj"),
+        F.lit("written_in").alias("pred"),
+        F.concat(F.lit("lang:"), F.col("lang")).alias("obj"),
+    )
+
+    if use_pandas_udf:
+        imp_arr = extract_imports(F.col("content"))
+        def_arr = extract_defines(F.col("content"))
+    else:
+        imp_arr = F.expr(f"regexp_extract_all(content, '{IMPORT_PATTERN}', 1)")
+        def_arr = F.expr(f"regexp_extract_all(content, '{DEFINE_PATTERN}', 1)")
+
+    imports = (
+        repo_files.select(fe.alias("subj"), F.explode(imp_arr).alias("m"))
+        .select("subj", F.lit("imports").alias("pred"), F.concat(F.lit("module:"), F.col("m")).alias("obj"))
+    )
+    defines = (
+        repo_files.select(fe.alias("subj"), F.explode(def_arr).alias("m"))
+        .select("subj", F.lit("defines").alias("pred"), F.concat(F.lit("sym:"), F.col("m")).alias("obj"))
+    )
+
+    return contains.unionByName(written_in).unionByName(imports).unionByName(defines).distinct()
+
+
+# ---------------------------------------------------------------- SQL (oracle)
+
+
+def triples_raw_sql(repo_files_cte: str) -> str:
+    """DuckDB oracle for :func:`extract_triples` (expects a repo_files CTE body)."""
+    return f"""
+WITH rf AS ({repo_files_cte}),
+fe AS (SELECT 'file:' || repo || '/' || path AS f, * FROM rf),
+imp AS (
+  SELECT f AS subj, 'imports' AS pred,
+         'module:' || unnest(regexp_extract_all(content, '{IMPORT_PATTERN}', 1)) AS obj
+  FROM fe),
+defs AS (
+  SELECT f AS subj, 'defines' AS pred,
+         'sym:' || unnest(regexp_extract_all(content, '{DEFINE_PATTERN}', 1)) AS obj
+  FROM fe),
+uni AS (
+  SELECT 'repo:' || repo AS subj, 'contains' AS pred, f AS obj FROM fe
+  UNION ALL
+  SELECT f, 'written_in', 'lang:' || lang FROM fe
+  UNION ALL SELECT * FROM imp
+  UNION ALL SELECT * FROM defs)
+SELECT DISTINCT subj, pred, obj FROM uni
+"""

@@ -1,0 +1,97 @@
+"""Deterministic synthesis of the north-rule input table ``repo_files``.
+
+The pipeline input shape is fixed by BASELINE.json's input_hint:
+``repo_files(repo string, path string, commit string, lang string,
+content string)``. No external data is allowed, so we derive it
+deterministically from the sandbox ``documents`` parquet table (driver
+generated, seed 42) with a single SQL template that BOTH Spark SQL and
+DuckDB evaluate identically — this is what makes every downstream stage
+oracle-checkable end-to-end.
+
+Design goals mirrored from FIXTURES.md §1:
+  * skewed repo distribution (floor(sqrt(u)) over a uniform key gives a
+    linearly increasing repo-size histogram) to exercise repo-key salting;
+  * hot ``lang`` values (50% python) to exercise hot-predicate salting of
+    ``written_in``;
+  * near-duplicate / casing-variant module mentions (``mod_7`` vs ``Mod_7``
+    vs ``mod7``) to exercise linking + canonicalization (reference analog:
+    entity disambiguation, /root/reference/entityasm.py:16-47).
+
+Only dialect-portable functions appear in the template: ``||``, CASE,
+floor, sqrt, md5, substr, replace, chr, %.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Number of distinct repos ≈ sqrt(REPO_KEYSPACE); linear size skew.
+REPO_KEYSPACE = 2500
+N_MODULES = 97
+N_FUNCS = 53
+N_CLASSES = 41
+
+_LANG = (
+    "CASE WHEN doc_id % 10 <= 4 THEN 'python' "
+    "WHEN doc_id % 10 <= 6 THEN 'java' "
+    "WHEN doc_id % 10 = 7 THEN 'go' "
+    "WHEN doc_id % 10 = 8 THEN 'js' "
+    "ELSE 'ruby' END"
+)
+
+_EXT = (
+    "CASE WHEN doc_id % 10 <= 4 THEN '.py' "
+    "WHEN doc_id % 10 <= 6 THEN '.java' "
+    "WHEN doc_id % 10 = 7 THEN '.go' "
+    "WHEN doc_id % 10 = 8 THEN '.js' "
+    "ELSE '.rb' END"
+)
+
+_M1 = "CAST(doc_id % 97 AS {STR})"
+# module-name variants (canonicalization fixture): every 13th file uses a
+# casing variant, every 17th an edit-distance-1 variant (missing underscore)
+_NAME1 = (
+    "CASE WHEN doc_id % 13 = 0 THEN 'Mod_' || " + _M1 + " "
+    "WHEN doc_id % 17 = 0 THEN 'mod' || " + _M1 + " "
+    "ELSE 'mod_' || " + _M1 + " END"
+)
+
+_CONTENT = (
+    "'import ' || " + _NAME1 + " || chr(10) || "
+    "'import mod_' || CAST((doc_id * 7 + 3) % 97 AS {STR}) || chr(10) || "
+    "'from mod_' || CAST((doc_id * 13 + 5) % 97 AS {STR}) || ' import util' || chr(10) || "
+    "'def func_' || CAST(doc_id % 53 AS {STR}) || '(x):' || chr(10) || "
+    "'    return x + ' || CAST(doc_id % 9 AS {STR}) || chr(10) || "
+    "'class Cls' || CAST(doc_id % 41 AS {STR}) || ':' || chr(10) || "
+    "'    pass' || chr(10) || "
+    "'# doc: ' || replace(substr(text, 1, 100), chr(10), ' ')"
+)
+
+_TEMPLATE = """
+SELECT
+  'org' || CAST(CAST(floor(sqrt(CAST(doc_id % 2500 AS DOUBLE))) AS BIGINT) AS {STR}) || '/repo' AS repo,
+  'src/m' || CAST(doc_id AS {STR}) || {EXT} AS path,
+  md5(CAST(doc_id AS {STR})) || substr(md5('c' || CAST(doc_id AS {STR})), 1, 8) AS {Q}commit{Q},
+  {LANG} AS lang,
+  {CONTENT} AS content
+FROM {DOCS}
+"""
+
+
+def repo_files_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """The synthesis query in the given dialect ('spark' | 'duckdb')."""
+    if dialect == "duckdb":
+        str_t, q = "VARCHAR", '"'
+    else:
+        str_t, q = "STRING", "`"
+    sql = _TEMPLATE.format(
+        STR="{STR}", EXT=_EXT, LANG=_LANG, CONTENT=_CONTENT, Q=q, DOCS=docs_rel
+    )
+    return sql.replace("{STR}", str_t)
+
+
+def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the deterministic repo_files DataFrame for a testdata dir."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("kgspark_documents")
+    return spark.sql(repo_files_sql("spark", "kgspark_documents"))

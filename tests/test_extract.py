@@ -1,0 +1,88 @@
+"""Extraction + encoding parity vs the DuckDB oracle and unit semantics."""
+
+from __future__ import annotations
+
+import re
+
+from kgspark import encode, extract, synth
+from tests.conftest import SF_TINY, assert_df_equal
+
+
+def test_repo_files_parity(spark, duck):
+    rf = synth.repo_files(spark, SF_TINY)
+    assert rf.columns == ["repo", "path", "commit", "lang", "content"]
+    assert_df_equal(rf, duck.execute(synth.repo_files_sql("duckdb")))
+
+
+def test_repo_files_shape(spark):
+    rf = synth.repo_files(spark, SF_TINY).cache()
+    n = rf.count()
+    assert n == 500
+    # skewed repo distribution, small lang vocabulary with a hot value
+    repos = rf.groupBy("repo").count().collect()
+    sizes = sorted(r["count"] for r in repos)
+    assert len(sizes) >= 20 and sizes[-1] >= 3 * sizes[0]
+    langs = {r["lang"]: r["count"] for r in rf.groupBy("lang").count().collect()}
+    assert langs["python"] >= 0.4 * n
+    # commit is 40-char hex
+    row = rf.first()
+    assert re.fullmatch(r"[0-9a-f]{40}", row["commit"])
+
+
+def test_mention_regexes():
+    content = (
+        "import numpy\nfrom scipy.sparse import csr\n  import os.path\n"
+        "def foo(x):\n    pass\nclass Bar:\n    pass\nximport nope\n"
+    )
+    assert re.findall(extract.IMPORT_PATTERN, content) == [
+        "numpy", "scipy.sparse", "os.path"]
+    assert re.findall(extract.DEFINE_PATTERN, content) == ["foo", "Bar"]
+
+
+def test_triples_parity(spark, duck):
+    rf = synth.repo_files(spark, SF_TINY)
+    tr = extract.extract_triples(rf)
+    oracle = extract.triples_raw_sql(synth.repo_files_sql("duckdb"))
+    assert_df_equal(tr, duck.execute(oracle))
+
+
+def test_pandas_udf_matches_builtin(spark):
+    """The Arrow pandas-UDF extraction path ≡ JVM regexp_extract_all path."""
+    rf = synth.repo_files(spark, SF_TINY)
+    a = extract.extract_triples(rf, use_pandas_udf=True)
+    b = extract.extract_triples(rf, use_pandas_udf=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_encoding_parity(spark, duck):
+    rf = synth.repo_files(spark, SF_TINY)
+    tr = extract.extract_triples(rf).cache()
+    ents, rels = encode.build_dims(tr)
+    enc = encode.encode_triples(tr, ents, rels)
+    raw_cte = extract.triples_raw_sql(synth.repo_files_sql("duckdb"))
+    assert_df_equal(ents, duck.execute(encode.entities_sql(raw_cte)))
+    assert_df_equal(rels, duck.execute(encode.relations_sql(raw_cte)))
+    assert_df_equal(enc, duck.execute(encode.encoded_sql(raw_cte)))
+
+
+def test_dense_ids_partition_invariance(spark):
+    """Ids must not depend on parallelism (N vs 4N requirement)."""
+    rf = synth.repo_files(spark, SF_TINY)
+    tr = extract.extract_triples(rf)
+    a = encode.dense_ids(tr.select(tr.subj.alias("name")).repartition(1))
+    b = encode.dense_ids(tr.select(tr.subj.alias("name")).repartition(16))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_sha256_invariant(spark, duck):
+    """Every row of repo_files preserves content sha256 vs the oracle's view
+    of the same synthesis (per-row invariant from BASELINE.json input_hint)."""
+    from pyspark.sql import functions as F
+
+    rf = synth.repo_files(spark, SF_TINY)
+    got = rf.select("repo", "path", F.sha2("content", 256).alias("sha"))
+    want = duck.execute(
+        "SELECT repo, path, sha256(content) AS sha FROM ("
+        + synth.repo_files_sql("duckdb") + ")"
+    )
+    assert_df_equal(got, want)
