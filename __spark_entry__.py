@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All KG queries operate on the deterministic ``repo_files`` table
+synthesized from the ``documents`` parquet (kgspark.synth) — the
+north-rule input shape — so every stage has an exact DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +15,141 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark import encode, errorsgen, extract, pipeline, scoring, synth, typesys
+
+P_ERROR = 0.05
+
+_RAW_CTE_DUCK = None
+
+
+def _raw_cte() -> str:
+    global _RAW_CTE_DUCK
+    if _RAW_CTE_DUCK is None:
+        _RAW_CTE_DUCK = extract.triples_raw_sql(synth.repo_files_sql("duckdb"))
+    return _RAW_CTE_DUCK
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: end-to-end extract → encode → corrupt → score → rank."""
+    return pipeline.flagship_ranked(spark, "/root/testdata/sf0.001", P_ERROR)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_repo_files(spark: SparkSession, sf: str) -> DataFrame:
+    return synth.repo_files(spark, sf)
+
+
+def _q_repo_files_sha(spark: SparkSession, sf: str) -> DataFrame:
+    rf = synth.repo_files(spark, sf)
+    return rf.select("repo", "path", F.sha2("content", 256).alias("sha"))
+
+
+def _q_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return extract.extract_triples(synth.repo_files(spark, sf))
+
+
+def _q_entities(spark: SparkSession, sf: str) -> DataFrame:
+    tr = _q_triples(spark, sf)
+    ents, _ = encode.build_dims(tr)
+    return ents
+
+
+def _q_relations(spark: SparkSession, sf: str) -> DataFrame:
+    tr = _q_triples(spark, sf)
+    _, rels = encode.build_dims(tr)
+    return rels
+
+
+def _q_encoded(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_graph(spark, sf).triples
+
+
+def _q_types(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_graph(spark, sf).types
+
+
+def _q_type_names(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_graph(spark, sf).type_names
+
+
+def _q_sdvalidate(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return scoring.sdvalidate_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+
+
+def _q_rpf(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return scoring.rpf(g.triples).withColumn("rpf", F.round("rpf", 6))
+
+
+def _q_domran(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return scoring.domran_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+
+
+def _q_errors_k1(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return errorsgen.inject_errors_kind1(g.triples, g.n_entities, P_ERROR)
+
+
+def _q_errors_k2(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return errorsgen.inject_errors_kind2(g.triples, g.types, P_ERROR)
+
+
+def _q_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.flagship_ranked(spark, sf, P_ERROR)
+
+
+def _q_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.flagship_metrics(spark, sf, P_ERROR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_repo_files": _q_repo_files,
+        "kg_repo_files_sha256": _q_repo_files_sha,
+        "kg_triples_raw": _q_triples,
+        "kg_entities_dim": _q_entities,
+        "kg_relations_dim": _q_relations,
+        "kg_triples_encoded": _q_encoded,
+        "kg_types": _q_types,
+        "kg_type_names": _q_type_names,
+        "kg_sdvalidate_scores": _q_sdvalidate,
+        "kg_rpf": _q_rpf,
+        "kg_domran_scores": _q_domran,
+        "kg_errors_kind1": _q_errors_k1,
+        "kg_errors_kind2": _q_errors_k2,
+        "kg_flagship_ranked": _q_flagship,
+        "kg_eval_metrics": _q_metrics,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    raw = _raw_cte()
+    rf_sql = synth.repo_files_sql("duckdb")
+    return {
+        "kg_repo_files": rf_sql,
+        "kg_repo_files_sha256": (
+            f"SELECT repo, path, sha256(content) AS sha FROM ({rf_sql})"
+        ),
+        "kg_triples_raw": raw,
+        "kg_entities_dim": encode.entities_sql(raw),
+        "kg_relations_dim": encode.relations_sql(raw),
+        "kg_triples_encoded": encode.encoded_sql(raw),
+        "kg_types": typesys.types_sql(raw),
+        "kg_type_names": typesys.type_names_sql(raw),
+        "kg_sdvalidate_scores": scoring.sdvalidate_sql(raw),
+        "kg_rpf": scoring.rpf_sql(raw),
+        "kg_domran_scores": scoring.domran_scores_sql(raw),
+        "kg_errors_kind1": errorsgen.errors_kind1_sql(raw, P_ERROR),
+        "kg_errors_kind2": errorsgen.errors_kind2_sql(raw, P_ERROR),
+        "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
+        "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
+    }

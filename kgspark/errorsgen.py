@@ -1,0 +1,187 @@
+"""Deterministic error injection (SURVEY §2 R4, U6-U7).
+
+Reference analog: /root/reference/generate_errors.py:15-87 — sample a
+fraction of true triples, corrupt subject or object with (kind 1) a random
+entity or (kind 2) an entity of identical type signature, rejecting
+replacements that collide with existing triples.
+
+The reference draws from unseeded ``random``; we need reproducibility AND
+partition invariance, so every choice is a pure function of the triple via
+the portable md5 hash (kgspark.hashing):
+
+* selection: uniform(s,p,o) < p_error
+* side: hash(s,p,o) mod 2  (0 → corrupt s, 1 → corrupt o)
+* replacement: bounded retry — attempts a = 0..MAX_ATTEMPTS-1 propose
+  candidate hash(s,p,o,a) mod pool; the first attempt whose corrupted
+  triple is absent from the graph (left_anti) and differs from the original
+  wins (reference's ``while True`` rejection loop, bounded + set-based).
+
+Everything is exactly reproducible in DuckDB → full oracle coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgspark.hashing import pick_mod, puniform, sql_phash32, sql_puniform
+from kgspark.typesys import kg_ctes
+
+MAX_ATTEMPTS = 8
+
+
+def _finish(cand: DataFrame, triples: DataFrame) -> DataFrame:
+    """Pick the first valid attempt per original triple; dedupe collisions."""
+    new_s = F.when(F.col("side") == 0, F.col("cand")).otherwise(F.col("s"))
+    new_o = F.when(F.col("side") == 1, F.col("cand")).otherwise(F.col("o"))
+    cand = cand.select(
+        F.col("s").alias("orig_s"), "p", F.col("o").alias("orig_o"),
+        new_s.alias("s2"), new_o.alias("o2"), "a",
+    ).where((F.col("s2") != F.col("orig_s")) | (F.col("o2") != F.col("orig_o")))
+    # reject corrupted triples that already exist in the graph
+    cand = cand.join(
+        triples.select(F.col("s").alias("s2"), "p", F.col("o").alias("o2")),
+        ["s2", "p", "o2"], "left_anti",
+    )
+    best = cand.groupBy("orig_s", "p", "orig_o").agg(F.min("a").alias("a"))
+    picked = cand.join(best, ["orig_s", "p", "orig_o", "a"])
+    # two originals may collide on the same corrupted triple → keep min origin
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s2", "p", "o2").orderBy("orig_s", "orig_o")
+    return (
+        picked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("s2").alias("s"), "p", F.col("o2").alias("o"),
+            "orig_s", "orig_o",
+        )
+    )
+
+
+def inject_errors_kind1(triples: DataFrame, n_entities: int,
+                        p_error: float = 0.05) -> DataFrame:
+    """Kind-1 corruption: random replacement entity (ids are 1..n_entities)."""
+    sel = triples.where(puniform(["s", "p", "o"], "errsel") < p_error)
+    sel = sel.withColumn("side", pick_mod(["s", "p", "o"], 2, "errside"))
+    cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
+    cand = cand.withColumn(
+        "cand", pick_mod(["s", "p", "o", "a"], n_entities, "errrepl") + 1
+    )
+    return _finish(cand, triples)
+
+
+def inject_errors_kind2(triples: DataFrame, types: DataFrame,
+                        p_error: float = 0.05) -> DataFrame:
+    """Kind-2: replacement shares the exact type signature of the original.
+
+    Type-signature blocking = groupBy sorted type-set (reference J10,
+    /root/reference/generate_errors.py:36-42). Groups of size 1 yield no
+    candidate and the triple is skipped (the reference resamples instead).
+    """
+    sig = types.groupBy("e").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("t"))).alias("sig")
+    )
+    groups = sig.groupBy("sig").agg(F.sort_array(F.collect_list("e")).alias("members"))
+    pool = sig.join(groups, "sig").select("e", "members",
+                                          F.size("members").alias("gsz"))
+
+    sel = triples.where(puniform(["s", "p", "o"], "errsel") < p_error)
+    sel = sel.withColumn("side", pick_mod(["s", "p", "o"], 2, "errside"))
+    tgt = F.when(F.col("side") == 0, F.col("s")).otherwise(F.col("o"))
+    sel = sel.withColumn("_tgt", tgt).join(
+        pool.withColumnRenamed("e", "_tgt"), "_tgt"
+    ).where(F.col("gsz") > 1)
+
+    cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
+    idx = pick_mod(["s", "p", "o", "a"], F.col("gsz"), "errrepl2") + 1
+    cand = cand.withColumn("cand", F.element_at("members", idx.cast("int")))
+    return _finish(cand.drop("members", "gsz", "_tgt"), triples)
+
+
+# ---------------------------------------------------------------- SQL (oracle)
+
+
+def _finish_ctes(cand_cte: str) -> str:
+    """CTE chain turning a (s,p,o,side,a,cnd) candidate CTE into ``errfin``."""
+    return f"""
+cand0 AS ({cand_cte}),
+cand AS (
+  SELECT s AS orig_s, p, o AS orig_o,
+         CASE WHEN side = 0 THEN cnd ELSE s END AS s2,
+         CASE WHEN side = 1 THEN cnd ELSE o END AS o2, a
+  FROM cand0),
+valid AS (
+  SELECT * FROM cand
+  WHERE (s2 <> orig_s OR o2 <> orig_o)
+    AND NOT EXISTS (SELECT 1 FROM enc WHERE enc.s = cand.s2 AND enc.p = cand.p AND enc.o = cand.o2)),
+best AS (
+  SELECT orig_s, p, orig_o, min(a) AS a FROM valid GROUP BY orig_s, p, orig_o),
+picked AS (
+  SELECT v.* FROM valid v JOIN best USING (orig_s, p, orig_o, a)),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY s2, p, o2 ORDER BY orig_s, orig_o) AS rn
+  FROM picked),
+errfin AS (SELECT s2 AS s, p, o2 AS o, orig_s, orig_o FROM dedup WHERE rn = 1)
+"""
+
+
+def errors_kind1_ctes(p_error: float = 0.05) -> str:
+    """CTE chain (appended after kg_ctes) defining ``errfin`` for kind 1."""
+    key_sel = "concat_ws('|', 'errsel', CAST(s AS VARCHAR), CAST(p AS VARCHAR), CAST(o AS VARCHAR))"
+    key_side = key_sel.replace("'errsel'", "'errside'")
+    key_rep = ("concat_ws('|', 'errrepl', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
+               "CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
+    return f"""
+ne AS (SELECT count(*) AS n FROM ent),
+sel AS (
+  SELECT s, p, o, {sql_phash32(key_side, 'duckdb')} % 2 AS side
+  FROM enc WHERE {sql_puniform(key_sel, 'duckdb')} < {p_error}),
+att AS (
+  SELECT sel.*, a FROM sel, (SELECT unnest(generate_series(0, {MAX_ATTEMPTS - 1})) AS a) ats),
+c AS (
+  SELECT s, p, o, side, a,
+         ({sql_phash32(key_rep, 'duckdb')} % (SELECT n FROM ne)) + 1 AS cnd
+  FROM att),
+{_finish_ctes("SELECT * FROM c")}
+"""
+
+
+def errors_kind2_ctes(p_error: float = 0.05) -> str:
+    """CTE chain (appended after kg_ctes) defining ``errfin`` for kind 2."""
+    key_sel = "concat_ws('|', 'errsel', CAST(s AS VARCHAR), CAST(p AS VARCHAR), CAST(o AS VARCHAR))"
+    key_side = key_sel.replace("'errsel'", "'errside'")
+    key_rep = ("concat_ws('|', 'errrepl2', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
+               "CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
+    return f"""
+sig AS (
+  SELECT e, string_agg(CAST(t AS VARCHAR), ',' ORDER BY t) AS sg
+  FROM (SELECT DISTINCT e, t FROM ty) GROUP BY e),
+grp AS (
+  SELECT sg, list_sort(list(e)) AS members, count(*) AS gsz FROM sig GROUP BY sg),
+pool AS (SELECT sig.e, grp.members, grp.gsz FROM sig JOIN grp USING (sg)),
+sel0 AS (
+  SELECT s, p, o, {sql_phash32(key_side, 'duckdb')} % 2 AS side
+  FROM enc WHERE {sql_puniform(key_sel, 'duckdb')} < {p_error}),
+sel AS (
+  SELECT sel0.*, pool.members, pool.gsz
+  FROM sel0 JOIN pool ON pool.e = CASE WHEN side = 0 THEN sel0.s ELSE sel0.o END
+  WHERE pool.gsz > 1),
+att AS (
+  SELECT sel.*, a FROM sel, (SELECT unnest(generate_series(0, {MAX_ATTEMPTS - 1})) AS a) ats),
+c AS (
+  SELECT s, p, o, side, a,
+         members[CAST(({sql_phash32(key_rep, 'duckdb')} % gsz) + 1 AS INT)] AS cnd
+  FROM att),
+{_finish_ctes("SELECT s, p, o, side, a, cnd FROM c")}
+"""
+
+
+def errors_kind1_sql(triples_cte: str, p_error: float = 0.05) -> str:
+    return (f"WITH {kg_ctes(triples_cte)}, {errors_kind1_ctes(p_error)} "
+            "SELECT * FROM errfin")
+
+
+def errors_kind2_sql(triples_cte: str, p_error: float = 0.05) -> str:
+    return (f"WITH {kg_ctes(triples_cte)}, {errors_kind2_ctes(p_error)} "
+            "SELECT * FROM errfin")

@@ -1,0 +1,147 @@
+"""End-to-end KG construction + error-detection pipeline composition.
+
+Mirrors the reference entry points (SURVEY §3):
+  E1 ingest   → build_graph      (load_kb.py analog)
+  E2 rank     → flagship_ranked  (rank_facts.py analog, SDValidate scorer)
+  E3 evaluate → flagship_metrics (detect_errors.py analog)
+
+Every stage also has a DuckDB oracle builder so the whole chain is
+value-checked end-to-end at sf0.01 by the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgspark import encode, errorsgen, extract, rank, scoring, synth, typesys
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute and truncate lineage (checkpoint-light).
+
+    Composed KG pipelines re-use stage outputs many times; without
+    truncation the logical plan tree grows multiplicatively (each reuse
+    embeds the full upstream subtree), which bloats planning and the
+    per-action plan-string rendering. ``localCheckpoint(eager=True)``
+    bounds every downstream plan at the stage boundary — the in-session
+    analog of the reference's NPZ stage files and of our parquet
+    checkpoints (kgspark.checkpoint) used for cross-run resume.
+    """
+    return df.localCheckpoint(eager=True)
+
+
+@dataclass
+class Graph:
+    repo_files: DataFrame
+    triples_raw: DataFrame
+    entities: DataFrame
+    relations: DataFrame
+    triples: DataFrame  # encoded (s, p, o)
+    types: DataFrame
+    type_names: DataFrame
+    n_entities: int
+
+
+_GRAPH_MEMO: dict[tuple[int, str], Graph] = {}
+
+
+def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
+    """Construct (and per-session memoize) the full KG from a testdata dir."""
+    key = (id(spark), sf_dir)
+    if cache and key in _GRAPH_MEMO:
+        return _GRAPH_MEMO[key]
+    g = _build_graph(spark, sf_dir, cache)
+    if cache:
+        _GRAPH_MEMO[key] = g
+    return g
+
+
+def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
+    rf = synth.repo_files(spark, sf_dir)
+    tr = extract.extract_triples(rf)
+    if cache:
+        tr = materialize(tr)
+    ents, rels = encode.build_dims(tr)
+    if cache:
+        ents, rels = materialize(ents), materialize(rels)
+    enc = encode.encode_triples(tr, ents, rels)
+    if cache:
+        enc = materialize(enc)
+    types, tnames = typesys.build_types(ents, enc, rels)
+    if cache:
+        types = materialize(types)
+    return Graph(rf, tr, ents, rels, enc, types, tnames, ents.count())
+
+
+def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1) -> DataFrame:
+    """True facts ∪ injected errors with an ``is_error`` flag (U6)."""
+    if kind == 1:
+        errs = errorsgen.inject_errors_kind1(g.triples, g.n_entities, p_error)
+    else:
+        errs = errorsgen.inject_errors_kind2(g.triples, g.types, p_error)
+    return g.triples.select(
+        "s", "p", "o", F.lit(False).alias("is_error")
+    ).unionByName(errs.select("s", "p", "o", F.lit(True).alias("is_error")))
+
+
+def flagship_ranked(spark: SparkSession, sf_dir: str,
+                    p_error: float = 0.05) -> DataFrame:
+    """Noisy graph → SDValidate score → global ordinal rank (most suspect first)."""
+    g = build_graph(spark, sf_dir)
+    noisy = materialize(noisy_facts(g, p_error))
+    scores = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), g.types)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts(scores)
+    return ranked.join(noisy, ["s", "p", "o"]).select(
+        "s", "p", "o", "score", "rank", "is_error"
+    )
+
+
+def flagship_metrics(spark: SparkSession, sf_dir: str,
+                     p_error: float = 0.05) -> DataFrame:
+    ranked = flagship_ranked(spark, sf_dir, p_error)
+    m = rank.evaluate(ranked)
+    return m.select(
+        *[F.round(c, 6).alias(c) for c in
+          ("mean_rank", "mrr", "f_mean_rank", "f_mrr")],
+        "n_errors", "n_facts",
+        F.round("roc_auc", 6).alias("roc_auc"),
+        F.round("pr_auc", 6).alias("pr_auc"),
+    )
+
+
+# ---------------------------------------------------------------- SQL (oracle)
+
+
+def _noisy_ctes(raw_cte: str, p_error: float) -> str:
+    return f"""
+{typesys.kg_ctes(raw_cte)},
+{errorsgen.errors_kind1_ctes(p_error)},
+noisy AS (
+  SELECT s, p, o, FALSE AS is_error FROM enc
+  UNION ALL
+  SELECT s, p, o, TRUE AS is_error FROM errfin),
+noisyf AS (SELECT s, p, o FROM noisy),
+{scoring.sdvalidate_ctes('noisyf')},
+flg AS (SELECT sdv.s, sdv.p, sdv.o, sdv.score, noisy.is_error
+        FROM sdv JOIN noisy ON noisy.s = sdv.s AND noisy.p = sdv.p AND noisy.o = sdv.o)
+"""
+
+
+def flagship_ranked_sql(raw_cte: str, p_error: float = 0.05) -> str:
+    return f"""
+WITH {_noisy_ctes(raw_cte, p_error)}
+SELECT s, p, o, score,
+       CAST(row_number() OVER (ORDER BY score, s, p, o) AS BIGINT) AS rank,
+       is_error
+FROM flg
+"""
+
+
+def flagship_metrics_sql(raw_cte: str, p_error: float = 0.05) -> str:
+    flagged = (f"WITH {_noisy_ctes(raw_cte, p_error)} "
+               "SELECT s, p, o, score, is_error FROM flg")
+    return rank.evaluate_sql(flagged)
