@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import encode, errorsgen, extract, pipeline, scoring, synth, typesys
+from kgspark import encode, errorsgen, extract, link, pipeline, scoring, synth, typesys
 
 P_ERROR = 0.05
 
@@ -53,15 +53,32 @@ def _q_triples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_entities(spark: SparkSession, sf: str) -> DataFrame:
-    tr = _q_triples(spark, sf)
-    ents, _ = encode.build_dims(tr)
-    return ents
+    return pipeline.build_graph(spark, sf).entities
 
 
 def _q_relations(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.build_graph(spark, sf).relations
+
+
+def _q_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     tr = _q_triples(spark, sf)
-    _, rels = encode.build_dims(tr)
-    return rels
+    return link.lsh_candidate_pairs(link.normalize_mentions(tr))
+
+
+def _q_linked_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    return link.verified_pairs(_q_triples(spark, sf), max_lev=1)
+
+
+def _q_canonical_map(spark: SparkSession, sf: str) -> DataFrame:
+    return link.canonical_map(_q_triples(spark, sf))
+
+
+def _q_canonical_map_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    return link.canonical_map(_q_triples(spark, sf), max_lev=1)
+
+
+def _q_triples_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    return link.canonicalize_triples(_q_triples(spark, sf))
 
 
 def _q_encoded(spark: SparkSession, sf: str) -> DataFrame:
@@ -116,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_repo_files": _q_repo_files,
         "kg_repo_files_sha256": _q_repo_files_sha,
         "kg_triples_raw": _q_triples,
+        "kg_lsh_candidate_pairs": _q_lsh_pairs,
+        "kg_linked_pairs_fuzzy": _q_linked_fuzzy,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_canonical_map_fuzzy": _q_canonical_map_fuzzy,
+        "kg_triples_canonical": _q_triples_canonical,
         "kg_entities_dim": _q_entities,
         "kg_relations_dim": _q_relations,
         "kg_triples_encoded": _q_encoded,
@@ -132,17 +154,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from kgspark.dialect import materialize_ctes
+
     raw = _raw_cte()
     rf_sql = synth.repo_files_sql("duckdb")
-    return {
+    plain = {
         "kg_repo_files": rf_sql,
         "kg_repo_files_sha256": (
             f"SELECT repo, path, sha256(content) AS sha FROM ({rf_sql})"
         ),
         "kg_triples_raw": raw,
-        "kg_entities_dim": encode.entities_sql(raw),
-        "kg_relations_dim": encode.relations_sql(raw),
-        "kg_triples_encoded": encode.encoded_sql(raw),
+        "kg_lsh_candidate_pairs": link.lsh_pairs_sql(raw),
+        "kg_linked_pairs_fuzzy": link.verified_pairs_sql(raw, max_lev=1),
+        "kg_canonical_map": link.canonical_map_sql(raw),
+        "kg_canonical_map_fuzzy": link.canonical_map_sql(raw, max_lev=1),
+        "kg_triples_canonical": link.canonical_triples_sql(raw),
+        "kg_entities_dim": (
+            f"WITH {typesys.kg_ctes(raw)} SELECT id, name FROM ent"
+        ),
+        "kg_relations_dim": (
+            f"WITH {typesys.kg_ctes(raw)} "
+            "SELECT CAST(id AS BIGINT) AS id, name FROM rel"
+        ),
+        "kg_triples_encoded": (
+            f"WITH {typesys.kg_ctes(raw)} SELECT s, p, o FROM enc"
+        ),
         "kg_types": typesys.types_sql(raw),
         "kg_type_names": typesys.type_names_sql(raw),
         "kg_sdvalidate_scores": scoring.sdvalidate_sql(raw),
@@ -153,3 +189,4 @@ def oracle_sql() -> dict[str, str]:
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
     }
+    return {k: materialize_ctes(v) for k, v in plain.items()}

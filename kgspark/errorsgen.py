@@ -105,16 +105,16 @@ def inject_errors_kind2(triples: DataFrame, types: DataFrame,
 def _finish_ctes(cand_cte: str) -> str:
     """CTE chain turning a (s,p,o,side,a,cnd) candidate CTE into ``errfin``."""
     return f"""
-cand0 AS ({cand_cte}),
-cand AS (
+ecand0 AS ({cand_cte}),
+ecand AS (
   SELECT s AS orig_s, p, o AS orig_o,
          CASE WHEN side = 0 THEN cnd ELSE s END AS s2,
          CASE WHEN side = 1 THEN cnd ELSE o END AS o2, a
-  FROM cand0),
+  FROM ecand0),
 valid AS (
-  SELECT * FROM cand
+  SELECT * FROM ecand
   WHERE (s2 <> orig_s OR o2 <> orig_o)
-    AND NOT EXISTS (SELECT 1 FROM enc WHERE enc.s = cand.s2 AND enc.p = cand.p AND enc.o = cand.o2)),
+    AND NOT EXISTS (SELECT 1 FROM enc WHERE enc.s = ecand.s2 AND enc.p = ecand.p AND enc.o = ecand.o2)),
 best AS (
   SELECT orig_s, p, orig_o, min(a) AS a FROM valid GROUP BY orig_s, p, orig_o),
 picked AS (
@@ -154,12 +154,12 @@ def errors_kind2_ctes(p_error: float = 0.05) -> str:
     key_rep = ("concat_ws('|', 'errrepl2', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
                "CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
     return f"""
-sig AS (
+esig AS (
   SELECT e, string_agg(CAST(t AS VARCHAR), ',' ORDER BY t) AS sg
   FROM (SELECT DISTINCT e, t FROM ty) GROUP BY e),
-grp AS (
-  SELECT sg, list_sort(list(e)) AS members, count(*) AS gsz FROM sig GROUP BY sg),
-pool AS (SELECT sig.e, grp.members, grp.gsz FROM sig JOIN grp USING (sg)),
+egrp AS (
+  SELECT sg, list_sort(list(e)) AS members, count(*) AS gsz FROM esig GROUP BY sg),
+pool AS (SELECT esig.e, egrp.members, egrp.gsz FROM esig JOIN egrp USING (sg)),
 sel0 AS (
   SELECT s, p, o, {sql_phash32(key_side, 'duckdb')} % 2 AS side
   FROM enc WHERE {sql_puniform(key_sel, 'duckdb')} < {p_error}),

@@ -19,18 +19,7 @@ from pyspark.sql import functions as F
 from kgspark import encode, errorsgen, extract, rank, scoring, synth, typesys
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly compute and truncate lineage (checkpoint-light).
-
-    Composed KG pipelines re-use stage outputs many times; without
-    truncation the logical plan tree grows multiplicatively (each reuse
-    embeds the full upstream subtree), which bloats planning and the
-    per-action plan-string rendering. ``localCheckpoint(eager=True)``
-    bounds every downstream plan at the stage boundary — the in-session
-    analog of the reference's NPZ stage files and of our parquet
-    checkpoints (kgspark.checkpoint) used for cross-run resume.
-    """
-    return df.localCheckpoint(eager=True)
+from kgspark.util import materialize  # re-export (bench/tests import from here)
 
 
 @dataclass
@@ -60,8 +49,14 @@ def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
 
 
 def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
+    from kgspark import link
+
     rf = synth.repo_files(spark, sf_dir)
-    tr = extract.extract_triples(rf)
+    tr_raw = extract.extract_triples(rf)
+    if cache:
+        tr_raw = materialize(tr_raw)
+    # entity linking + canonicalization (MinHash-LSH blocking + iterative CC)
+    tr = link.canonicalize_triples(tr_raw)
     if cache:
         tr = materialize(tr)
     ents, rels = encode.build_dims(tr)

@@ -51,10 +51,19 @@ def build_types(entities: DataFrame, triples: DataFrame,
 # CTE bodies reused by downstream oracle builders; all expect `tr`, `ent`,
 # `rel`, `enc` CTEs from kgspark.encode oracle fragments.
 
-def kg_ctes(triples_cte: str) -> str:
-    """Shared WITH-clause body: tr, ent, rel, enc, ta, tn, ty."""
+def kg_ctes(triples_cte: str, canonical: bool = True) -> str:
+    """Shared WITH-clause body: tr (canonicalized), ent, rel, enc, ta, tn, ty.
+
+    ``canonical=True`` routes the raw triples through the linking +
+    canonicalization CTE chain (kgspark.link), mirroring
+    pipeline.build_graph. Set False for the raw-graph variant.
+    """
+    from kgspark.link import canonical_tr_ctes
+
+    tr_def = (canonical_tr_ctes(triples_cte) if canonical
+              else f"tr AS ({triples_cte})")
     return f"""
-tr AS ({triples_cte}),
+{tr_def},
 names AS (SELECT DISTINCT name FROM (
   SELECT subj AS name FROM tr UNION ALL SELECT obj FROM tr)),
 ent AS (SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name FROM names),

@@ -20,6 +20,20 @@ def spark():
     s.stop()
 
 
+class _OracleConn:
+    """DuckDB connection wrapper that applies the oracle dialect rewrite
+    (CTE materialization) to every query, like the external driver would
+    run them standalone."""
+
+    def __init__(self, con):
+        self._con = con
+
+    def execute(self, sql: str, *a, **kw):
+        from kgspark.dialect import materialize_ctes
+
+        return self._con.execute(materialize_ctes(sql), *a, **kw)
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
@@ -27,7 +41,7 @@ def duck():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_TINY}/{t}.parquet')"
         )
-    yield con
+    yield _OracleConn(con)
     con.close()
 
 
