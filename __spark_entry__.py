@@ -17,7 +17,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import encode, errorsgen, extract, link, pipeline, scoring, synth, typesys
+from kgspark import (encode, errorsgen, extract, link, patybred, pipeline,
+                     scoring, synth, typesys)
 
 P_ERROR = 0.05
 
@@ -120,6 +121,42 @@ def _q_errors_k2(spark: SparkSession, sf: str) -> DataFrame:
     return errorsgen.inject_errors_kind2(g.triples, g.types, P_ERROR)
 
 
+def _q_relation_support(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return g.triples.groupBy("p").agg(F.count("*").alias("support"))
+
+
+def _q_paths_depth2(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 path supports; tiny metadata assembled from the distributed
+    BFS (pair tables are Spark-side; supports are their counts)."""
+    g = pipeline.build_graph(spark, sf)
+    idx = patybred.enumerate_paths(g.triples, g.relations.count())
+    rows = [(p[0], p[1], s) for p, s in sorted(idx.supports.items())
+            if len(p) == 2]
+    df = spark.createDataFrame(rows or [(0, 0, 0)], "p1 int, p2 int, support bigint")
+    return df if rows else df.limit(0)
+
+
+def _q_patybred_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    pos = patybred.sample_positives(g.triples)
+    return patybred.generate_negatives(pos, g.triples, g.n_entities)
+
+
+def _q_patybred_features(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    idx = patybred.enumerate_paths(g.triples, g.relations.count())
+    return patybred.features_long(g.triples, idx, g.types)
+
+
+def _q_patybred_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    return patybred.patybred_ranked(spark, sf, P_ERROR)
+
+
+def _q_patybred_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return patybred.patybred_metrics(spark, sf, P_ERROR)
+
+
 def _q_flagship(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_ranked(spark, sf, P_ERROR)
 
@@ -148,6 +185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domran_scores": _q_domran,
         "kg_errors_kind1": _q_errors_k1,
         "kg_errors_kind2": _q_errors_k2,
+        "kg_relation_support": _q_relation_support,
+        "kg_paths_depth2": _q_paths_depth2,
+        "kg_patybred_negatives": _q_patybred_negatives,
+        "kg_patybred_features": _q_patybred_features,
+        "kg_patybred_ranked": _q_patybred_ranked,
+        "kg_patybred_metrics": _q_patybred_metrics,
         "kg_flagship_ranked": _q_flagship,
         "kg_eval_metrics": _q_metrics,
     }
@@ -186,6 +229,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_domran_scores": scoring.domran_scores_sql(raw),
         "kg_errors_kind1": errorsgen.errors_kind1_sql(raw, P_ERROR),
         "kg_errors_kind2": errorsgen.errors_kind2_sql(raw, P_ERROR),
+        "kg_relation_support": patybred.relation_support_sql(raw),
+        "kg_paths_depth2": patybred.paths_depth2_sql(raw),
+        "kg_patybred_negatives": patybred.negatives_sql(raw),
+        "kg_patybred_features": patybred.features_long_sql(raw),
+        # kg_patybred_ranked / kg_patybred_metrics intentionally omitted:
+        # classifier fit (applyInPandas numpy LR) is not SQL-expressible;
+        # the driver records the weaker rows-only check for them.
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
     }

@@ -1,0 +1,525 @@
+"""PaTyBRED core: path+type features, per-relation classifiers, scoring.
+
+Reference: /root/reference/patybred.py (K-CAP 2017). Semantics mapped:
+
+* inverse-relation augmentation — patybred.py:180-196 (P5): logical
+  relation ``p + R`` is the transpose; symmetric relations get no inverse
+  (patybred.py:152-155,186-187, P4).
+* path enumeration to depth 2 — patybred.py:199-296: depth-1 paths are
+  relations with support ≥ min_sup; depth-2 candidates prune immediate
+  inverse backtracks, symmetric self-repeats, and inverse-reversed
+  duplicates (canonical form = lexicographic min of path vs
+  reversed-inverted path); kept iff min_sup ≤ support < max_nnz (P2/P3).
+  The boolean matrix product A1·A2 (J1) is the equi-join on the middle
+  entity + distinct.
+* per-relation training set — patybred.py:495-505,586-628: positives
+  capped at max_pos_train, negatives = deterministic corruption rejected
+  against the relation's own positives (util.py:464-501, R1/U7).
+* features — patybred.py:424-459 (J3-J4): path membership booleans
+  (own path (r,) excluded, patybred.py:570-571) + subject/object type
+  booleans. Stored in sparse long form (s,p,o,feat) — only true bits.
+* classifier — patybred.py:366-380,618-622 (M1): reference default is
+  sklearn LogisticRegression; sklearn is not in this environment, so we
+  fit an equivalent L2 logistic regression with deterministic full-batch
+  gradient descent in numpy inside ``applyInPandas`` (per-relation groups
+  are bounded by the training caps, so pandas-side is safe at any scale).
+  Relations with no positives get no model and score 0.0
+  (patybred.py:536-537).
+* scoring (M3) — because features are boolean, p = sigmoid(bias_p +
+  Σ_active w) — expressed as a broadcast join + groupBy aggregate:
+  fully JVM-side, no Python in the hot path, shuffle bounded by the
+  (s,p,o) grouping.
+
+Scale notes: path pair tables are materialized per level (checkpointed
+lineage, resumable); the path join shuffles on the middle entity — hot
+middle entities (e.g. ``lang:python``) are exactly the reference's
+max_nnz explosion guard, which we keep as a pre-materialization count
+filter; AQE skew-join covers the rest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgspark.hashing import phash32, pick_mod, puniform
+from kgspark.util import materialize
+
+MIN_SUP = 5
+MAX_NNZ = 10_000_000
+MAX_POS_TRAIN = 2500
+N_NEG = 1
+MAX_ATTEMPTS = 8
+LR_ITERS = 300
+LR_RATE = 0.5
+LR_L2 = 1e-3
+
+
+def inv(p: int, R: int) -> int:
+    return p - R if p > R else p + R
+
+
+def augmented(triples: DataFrame, R: int) -> DataFrame:
+    """triples ∪ transposed triples under inverse relation ids (P5)."""
+    invt = triples.select(
+        F.col("o").alias("s"), (F.col("p") + R).cast("int").alias("p"),
+        F.col("s").alias("o"),
+    )
+    return triples.unionByName(invt)
+
+
+def symmetric_relations(triples: DataFrame) -> list[int]:
+    """p where the relation equals its transpose (util.py:86-118, P4)."""
+    t = triples
+    trans = t.select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
+    missing = t.join(trans, ["s", "p", "o"], "left_anti").select("p").distinct()
+    have = {r["p"] for r in t.select("p").distinct().collect()}
+    asym = {r["p"] for r in missing.collect()}
+    return sorted(have - asym)
+
+
+@dataclass
+class PathIndex:
+    R: int
+    paths: dict[tuple[int, ...], DataFrame]  # path -> (s, o) pairs, distinct
+    supports: dict[tuple[int, ...], int]
+    syms: list[int]
+
+    @property
+    def ordered(self) -> list[tuple[int, ...]]:
+        return sorted(self.paths)
+
+
+def enumerate_paths(
+    triples: DataFrame,
+    R: int,
+    min_sup: int = MIN_SUP,
+    max_nnz: int = MAX_NNZ,
+    max_depth: int = 2,
+) -> PathIndex:
+    """Path BFS with pruning (patybred.py:199-296)."""
+    aug = materialize(augmented(triples, R).distinct())
+    syms = symmetric_relations(triples)
+    relevant = [p for p in range(1, 2 * R + 1) if not (p > R and (p - R) in syms)]
+
+    sup1 = {r["p"]: r["cnt"] for r in
+            aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
+
+    paths: dict[tuple[int, ...], DataFrame] = {}
+    supports: dict[tuple[int, ...], int] = {}
+    l_paths: list[tuple[int, ...]] = []
+    for p in relevant:
+        if sup1.get(p, 0) >= min_sup:
+            paths[(p,)] = aug.where(F.col("p") == p).select("s", "o")
+            supports[(p,)] = sup1[p]
+            l_paths.append((p,))
+
+    depth = 1
+    while depth < max_depth and l_paths:
+        candidates: list[tuple[int, ...]] = []
+        seen: set[tuple[int, ...]] = set()
+        for path in sorted(l_paths):
+            last = path[-1]
+            for r2 in relevant:
+                if last == inv(r2, R):
+                    continue  # no immediate backtrack
+                if last == r2 and r2 in syms:
+                    continue  # no symmetric self-repeat
+                new = path + (r2,)
+                canon = tuple(inv(i, R) for i in reversed(new))
+                if new in seen or canon in seen:
+                    continue
+                seen.add(new)
+                candidates.append(new)
+
+        next_paths = []
+        for new in candidates:
+            a = paths[new[:-1]].alias("a")
+            b = aug.where(F.col("p") == new[-1]).select(
+                F.col("s").alias("m"), F.col("o").alias("o2")
+            ).alias("b")
+            prod = (
+                a.join(b, F.col("a.o") == F.col("b.m"))
+                .select(F.col("a.s").alias("s"), F.col("b.o2").alias("o"))
+                .distinct()
+            )
+            prod = materialize(prod)
+            nnz = prod.count()
+            if min_sup <= nnz < max_nnz:
+                paths[new] = prod
+                supports[new] = nnz
+                next_paths.append(new)
+        l_paths = next_paths
+        depth += 1
+
+    return PathIndex(R=R, paths=paths, supports=supports, syms=syms)
+
+
+# ----------------------------------------------------------------- features
+
+
+def path_membership(idx: PathIndex) -> DataFrame:
+    """Union table (feat, s, o) of all path pairs; feat = stable string id."""
+    parts = []
+    for path in idx.ordered:
+        fid = "path_" + "_".join(map(str, path))
+        parts.append(idx.paths[path].select(
+            F.lit(fid).alias("feat"), "s", "o",
+            F.lit(len(path) == 1).alias("_single"),
+            F.lit(path[0]).alias("_p0"),
+        ))
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame) -> DataFrame:
+    """(s, p, o) facts → sparse boolean features (s, p, o, feat).
+
+    Path features exclude the fact's own relation path (r,)
+    (patybred.py:570-571); type features are st_<t> / ot_<t> (J4).
+    """
+    memb = path_membership(idx)
+    pf = (
+        facts.join(memb, ["s", "o"])
+        .where(~(F.col("_single") & (F.col("_p0") == F.col("p"))))
+        .select("s", "p", "o", "feat")
+    )
+    st = facts.join(types.withColumnRenamed("e", "s"), "s").select(
+        "s", "p", "o", F.concat(F.lit("st_"), F.col("t")).alias("feat")
+    )
+    ot = facts.join(types.withColumnRenamed("e", "o"), "o").select(
+        "s", "p", "o", F.concat(F.lit("ot_"), F.col("t")).alias("feat")
+    )
+    return pf.unionByName(st).unionByName(ot)
+
+
+# ----------------------------------------------------------- training data
+
+
+def sample_positives(triples: DataFrame, cap: int = MAX_POS_TRAIN) -> DataFrame:
+    """Deterministic per-relation positive cap (patybred.py:495-499, R5)."""
+    w = Window.partitionBy("p").orderBy(puniform(["s", "p", "o"], "pbsub"),
+                                        "s", "o")
+    return (
+        triples.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def generate_negatives(pos: DataFrame, triples: DataFrame,
+                       n_entities: int) -> DataFrame:
+    """Deterministic corrupt-s-or-o negatives, rejected against the
+    relation's positives (util.py:464-501, R1/U7)."""
+    sel = pos.withColumn("side", pick_mod(["s", "p", "o"], 2, "pbside"))
+    cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
+    cand = cand.withColumn(
+        "cand", pick_mod(["s", "p", "o", "a"], n_entities, "pbneg") + 1
+    )
+    ns = F.when(F.col("side") == 0, F.col("cand")).otherwise(F.col("s"))
+    no = F.when(F.col("side") == 1, F.col("cand")).otherwise(F.col("o"))
+    cand = cand.select(
+        F.col("s").alias("orig_s"), "p", F.col("o").alias("orig_o"),
+        ns.alias("s"), no.alias("o"), "a",
+    ).where((F.col("s") != F.col("orig_s")) | (F.col("o") != F.col("orig_o")))
+    cand = cand.join(triples, ["s", "p", "o"], "left_anti")
+    best = cand.groupBy("orig_s", "p", "orig_o").agg(F.min("a").alias("a"))
+    return (
+        cand.join(best, ["orig_s", "p", "orig_o", "a"])
+        .select("s", "p", "o")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- training
+
+
+def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic L2 logistic regression on one relation's batch.
+
+    Input rows: (p, s, o, label, feats: list[str]). Output long weights:
+    (p, feat, w) with feat='_bias' carrying the intercept.
+    """
+    p = int(pdf["p"].iloc[0])
+    pdf = pdf.sort_values(["label", "s", "o"]).reset_index(drop=True)
+    rows = [list(r) if r is not None else [] for r in pdf["feats"]]
+    feat_set = sorted({f for r in rows for f in r})
+    if not feat_set or pdf["label"].nunique() < 2:
+        # degenerate: no features or single-class → no model (scores 0.0)
+        return pd.DataFrame({"p": pd.Series([], dtype="int32"),
+                             "feat": pd.Series([], dtype="object"),
+                             "w": pd.Series([], dtype="float64")})
+    fidx = {f: i for i, f in enumerate(feat_set)}
+    X = np.zeros((len(pdf), len(feat_set)))
+    for i, r in enumerate(rows):
+        for f in r:
+            X[i, fidx[f]] = 1.0
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    n = float(len(y))
+    for _ in range(LR_ITERS):
+        z = X @ w + b
+        pr = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (pr - y) / n + LR_L2 * w
+        gb = float(np.sum(pr - y) / n)
+        w -= LR_RATE * g
+        b -= LR_RATE * gb
+    out = pd.DataFrame({"p": p, "feat": feat_set, "w": w})
+    return pd.concat(
+        [out, pd.DataFrame({"p": [p], "feat": ["_bias"], "w": [b]})],
+        ignore_index=True,
+    )
+
+
+def fit_models(triples: DataFrame, idx: PathIndex, types: DataFrame,
+               n_entities: int) -> DataFrame:
+    """Per-relation classifier fit via applyInPandas (M1) → (p, feat, w)."""
+    pos = sample_positives(triples)
+    neg = generate_negatives(pos, triples, n_entities)
+    train = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
+    fl = features_long(train.select("s", "p", "o"), idx, types)
+    rows = (
+        train.join(
+            fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),
+            ["s", "p", "o"], "left",
+        )
+    )
+    return materialize(
+        rows.groupBy("p").applyInPandas(
+            _fit_group, "p int, feat string, w double"
+        )
+    )
+
+
+def score_facts(facts: DataFrame, idx: PathIndex, types: DataFrame,
+                models: DataFrame) -> DataFrame:
+    """(s,p,o) → (s,p,o,score): sigmoid(bias_p + Σ active weights) (M3).
+
+    Pure joins + aggregates: the weights table is tiny (broadcast); the
+    only shuffle is the (s,p,o) grouping. Facts of relations without a
+    model score 0.0 (patybred.py:536-537).
+    """
+    weights = models.where(F.col("feat") != "_bias")
+    bias = models.where(F.col("feat") == "_bias").select(
+        "p", F.col("w").alias("bias")
+    )
+    has_model = bias.select("p").distinct().withColumn("_hm", F.lit(True))
+
+    fl = features_long(facts, idx, types)
+    dot = (
+        fl.join(F.broadcast(weights), ["p", "feat"], "left")
+        .groupBy("s", "p", "o")
+        .agg(F.sum(F.coalesce("w", F.lit(0.0))).alias("dot"))
+    )
+    scored = (
+        facts.join(dot, ["s", "p", "o"], "left")
+        .join(F.broadcast(bias), "p", "left")
+        .join(F.broadcast(has_model), "p", "left")
+    )
+    z = F.coalesce("dot", F.lit(0.0)) + F.coalesce("bias", F.lit(0.0))
+    return scored.select(
+        "s", "p", "o",
+        F.when(F.col("_hm").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .alias("score"),
+    )
+
+
+# ------------------------------------------------------------ end-to-end
+
+
+def patybred_ranked(spark: SparkSession, sf_dir: str,
+                    p_error: float = 0.05) -> DataFrame:
+    """Noisy graph → PaTyBRED score → ordinal rank (detect_errors analog)."""
+    from kgspark import pipeline, rank
+
+    g = pipeline.build_graph(spark, sf_dir)
+    noisy = materialize(pipeline.noisy_facts(g, p_error))
+    facts = noisy.select("s", "p", "o")
+    R = g.relations.count()
+    idx = enumerate_paths(facts, R)
+    models = fit_models(facts, idx, g.types, g.n_entities)
+    scores = score_facts(facts, idx, g.types, models)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts(scores)
+    return ranked.join(noisy, ["s", "p", "o"]).select(
+        "s", "p", "o", "score", "rank", "is_error"
+    )
+
+
+def patybred_metrics(spark: SparkSession, sf_dir: str,
+                     p_error: float = 0.05) -> DataFrame:
+    from kgspark import rank
+
+    ranked = patybred_ranked(spark, sf_dir, p_error)
+    m = rank.evaluate(ranked)
+    return m.select(
+        *[F.round(c, 6).alias(c) for c in
+          ("mean_rank", "mrr", "f_mean_rank", "f_mrr")],
+        "n_errors", "n_facts",
+        F.round("roc_auc", 6).alias("roc_auc"),
+        F.round("pr_auc", 6).alias("pr_auc"),
+    )
+
+
+# ---------------------------------------------------------------- SQL (oracle)
+
+# The fixed 4-predicate vocabulary makes R a constant for oracle strings.
+R_CONST = 4
+
+
+def _inv_sql(col: str, R: int) -> str:
+    return f"CASE WHEN {col} > {R} THEN {col} - {R} ELSE {col} + {R} END"
+
+
+def paths_ctes(R: int = R_CONST, min_sup: int = MIN_SUP,
+               max_nnz: int = MAX_NNZ) -> str:
+    """CTE chain after kg_ctes: aug, syms, singles, cand2, pp2, paths2."""
+    return f"""
+aug AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM enc
+  UNION ALL
+  SELECT o AS s, p + {R} AS p, s AS o FROM enc)),
+syms AS (
+  SELECT p FROM (SELECT DISTINCT p FROM enc) rp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM enc t WHERE t.p = rp.p
+      AND NOT EXISTS (SELECT 1 FROM enc t2
+                      WHERE t2.p = t.p AND t2.s = t.o AND t2.o = t.s))),
+rels2 AS (
+  SELECT p FROM (SELECT DISTINCT p FROM aug) x
+  WHERE NOT (p > {R} AND (p - {R}) IN (SELECT p FROM syms))),
+singles AS (
+  SELECT aug.p, count(*) AS support FROM aug
+  JOIN rels2 ON rels2.p = aug.p
+  GROUP BY aug.p HAVING count(*) >= {min_sup}),
+c0 AS (
+  SELECT a.p AS p1, b.p AS p2
+  FROM singles a CROSS JOIN rels2 b
+  WHERE a.p <> {_inv_sql('b.p', R)}
+    AND NOT (a.p = b.p AND b.p IN (SELECT p FROM syms))),
+cand2 AS (
+  SELECT p1, p2 FROM c0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c0 r
+    WHERE r.p1 = {_inv_sql('c0.p2', R)} AND r.p2 = {_inv_sql('c0.p1', R)}
+      AND (r.p1 < c0.p1 OR (r.p1 = c0.p1 AND r.p2 < c0.p2)))),
+pp2 AS (
+  SELECT c.p1, c.p2, a.s, b.o
+  FROM cand2 c JOIN aug a ON a.p = c.p1 JOIN aug b ON b.p = c.p2 AND b.s = a.o
+  GROUP BY c.p1, c.p2, a.s, b.o),
+paths2 AS (
+  SELECT p1, p2, count(*) AS support FROM pp2 GROUP BY p1, p2
+  HAVING count(*) >= {min_sup} AND count(*) < {max_nnz})
+"""
+
+
+def paths_depth2_sql(triples_cte: str, R: int = R_CONST) -> str:
+    from kgspark.typesys import kg_ctes
+
+    return (f"WITH {kg_ctes(triples_cte)}, {paths_ctes(R)} "
+            "SELECT p1, p2, support FROM paths2")
+
+
+def relation_support_sql(triples_cte: str) -> str:
+    from kgspark.typesys import kg_ctes
+
+    return (f"WITH {kg_ctes(triples_cte)} "
+            "SELECT p, count(*) AS support FROM enc GROUP BY p")
+
+
+def symmetric_relations_sql(triples_cte: str, R: int = R_CONST) -> str:
+    from kgspark.typesys import kg_ctes
+
+    return (f"WITH {kg_ctes(triples_cte)}, {paths_ctes(R)} "
+            "SELECT p FROM syms")
+
+
+def negatives_ctes(R: int = R_CONST, cap: int = MAX_POS_TRAIN) -> str:
+    """CTE chain after kg_ctes: pos (capped positives), negs."""
+    from kgspark.hashing import sql_phash32, sql_puniform
+
+    key_sub = ("concat_ws('|', 'pbsub', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
+               "CAST(o AS VARCHAR))")
+    key_side = key_sub.replace("'pbsub'", "'pbside'")
+    key_neg = ("concat_ws('|', 'pbneg', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
+               "CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
+    return f"""
+ne AS (SELECT count(*) AS n FROM ent),
+pos AS (
+  SELECT s, p, o FROM (
+    SELECT s, p, o, row_number() OVER (
+      PARTITION BY p ORDER BY {sql_puniform(key_sub, 'duckdb')}, s, o) AS rn
+    FROM enc) x WHERE rn <= {cap}),
+nsel AS (
+  SELECT s, p, o, {sql_phash32(key_side, 'duckdb')} % 2 AS side FROM pos),
+natt AS (
+  SELECT nsel.*, a FROM nsel,
+    (SELECT unnest(generate_series(0, {MAX_ATTEMPTS - 1})) AS a) ats),
+ncand AS (
+  SELECT s AS orig_s, p, o AS orig_o, a,
+    CASE WHEN side = 0
+      THEN ({sql_phash32(key_neg, 'duckdb')} % (SELECT n FROM ne)) + 1
+      ELSE s END AS s,
+    CASE WHEN side = 1
+      THEN ({sql_phash32(key_neg, 'duckdb')} % (SELECT n FROM ne)) + 1
+      ELSE o END AS o
+  FROM natt),
+nvalid AS (
+  SELECT * FROM ncand
+  WHERE (s <> orig_s OR o <> orig_o)
+    AND NOT EXISTS (SELECT 1 FROM enc
+                    WHERE enc.s = ncand.s AND enc.p = ncand.p AND enc.o = ncand.o)),
+nbest AS (SELECT orig_s, p, orig_o, min(a) AS a FROM nvalid
+          GROUP BY orig_s, p, orig_o),
+negs AS (
+  SELECT DISTINCT v.s, v.p, v.o
+  FROM nvalid v JOIN nbest USING (orig_s, p, orig_o, a))
+"""
+
+
+def negatives_sql(triples_cte: str, R: int = R_CONST) -> str:
+    from kgspark.typesys import kg_ctes
+
+    return (f"WITH {kg_ctes(triples_cte)}, {negatives_ctes(R)} "
+            "SELECT s, p, o FROM negs")
+
+
+def features_long_sql(triples_cte: str, R: int = R_CONST) -> str:
+    """Oracle for features_long over ALL encoded facts."""
+    from kgspark.typesys import kg_ctes
+
+    return f"""
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R)},
+memb AS (
+  SELECT 'path_' || CAST(p AS VARCHAR) AS feat, s, o,
+         TRUE AS single, p AS p0
+  FROM aug JOIN singles USING (p)
+  UNION ALL
+  SELECT 'path_' || CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR),
+         s, o, FALSE, 0
+  FROM pp2 JOIN paths2 USING (p1, p2)),
+pf AS (
+  SELECT enc.s, enc.p, enc.o, memb.feat
+  FROM enc JOIN memb ON memb.s = enc.s AND memb.o = enc.o
+  WHERE NOT (memb.single AND memb.p0 = enc.p)),
+stf AS (
+  SELECT enc.s, enc.p, enc.o, 'st_' || CAST(ty.t AS VARCHAR) AS feat
+  FROM enc JOIN ty ON ty.e = enc.s),
+otf AS (
+  SELECT enc.s, enc.p, enc.o, 'ot_' || CAST(ty.t AS VARCHAR) AS feat
+  FROM enc JOIN ty ON ty.e = enc.o)
+SELECT s, p, o, feat FROM pf
+UNION ALL SELECT * FROM stf
+UNION ALL SELECT * FROM otf
+"""

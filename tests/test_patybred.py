@@ -1,0 +1,113 @@
+"""PaTyBRED: path BFS, features, negatives, classifier (sf0.001 + toys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import extract, patybred, pipeline, synth
+from tests.conftest import SF_TINY, assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return pipeline.build_graph(spark, SF_TINY)
+
+
+@pytest.fixture(scope="module")
+def idx(graph):
+    return patybred.enumerate_paths(graph.triples, 4)
+
+
+@pytest.fixture(scope="module")
+def raw_cte():
+    return extract.triples_raw_sql(synth.repo_files_sql("duckdb"))
+
+
+def test_path_composition_toy(spark):
+    """J1 on a hand-computed graph: pairs of path (1,2) = A·B boolean product."""
+    t = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 3), (3, 1, 4), (2, 2, 10), (3, 2, 11), (5, 2, 12)],
+        "s long, p int, o long",
+    )
+    idx = patybred.enumerate_paths(t, 2, min_sup=1)
+    assert (1, 2) in idx.paths
+    got = {(r["s"], r["o"]) for r in idx.paths[(1, 2)].collect()}
+    assert got == {(1, 10), (2, 11)}
+    # inverse path (4,3) ≡ reversed-inverted of (1,2) is deduped to canonical
+    assert (4, 3) not in idx.paths
+
+
+def test_bfs_pruning_backtrack(spark):
+    """Immediate inverse backtrack (p, inv p) is never a candidate."""
+    t = spark.createDataFrame([(1, 1, 2), (3, 1, 4)], "s long, p int, o long")
+    idx = patybred.enumerate_paths(t, 1, min_sup=1)
+    assert all(
+        not (len(p) == 2 and p[1] == patybred.inv(p[0], 1)) for p in idx.paths
+    )
+
+
+def test_symmetric_detection(spark):
+    t = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 1), (5, 1, 6), (6, 1, 5), (1, 2, 2)],
+        "s long, p int, o long",
+    )
+    assert patybred.symmetric_relations(t) == [1]
+
+
+def test_paths_depth2_parity(spark, duck, graph, idx, raw_cte):
+    rows = [(p[0], p[1], s) for p, s in sorted(idx.supports.items()) if len(p) == 2]
+    sdf = spark.createDataFrame(rows, "p1 int, p2 int, support bigint")
+    assert_df_equal(sdf, duck.execute(patybred.paths_depth2_sql(raw_cte)))
+
+
+def test_negatives_parity_and_exclusion(spark, duck, graph, raw_cte):
+    pos = patybred.sample_positives(graph.triples)
+    negs = patybred.generate_negatives(pos, graph.triples, graph.n_entities)
+    assert_df_equal(negs, duck.execute(patybred.negatives_sql(raw_cte)))
+    assert negs.join(graph.triples, ["s", "p", "o"], "inner").count() == 0
+
+
+def test_features_parity(spark, duck, graph, idx, raw_cte):
+    fl = patybred.features_long(graph.triples, idx, graph.types)
+    assert_df_equal(fl, duck.execute(patybred.features_long_sql(raw_cte)))
+
+
+def test_own_path_feature_excluded(spark, graph, idx):
+    """A fact (s,r,o) must not see path (r,) among its features — that
+    feature is a perfect label leak (reference patybred.py:570-571)."""
+    fl = patybred.features_long(graph.triples, idx, graph.types)
+    leak = fl.where(F.col("feat") == F.concat(F.lit("path_"), F.col("p")))
+    assert leak.count() == 0
+
+
+def test_classifier_learns_and_scores(spark, graph, idx):
+    """Models separate pos from deterministic negatives; degenerate
+    relations score 0.0 (reference patybred.py:536-537)."""
+    models = patybred.fit_models(graph.triples, idx, graph.types, graph.n_entities)
+    assert models.where(F.col("feat") == "_bias").count() > 0
+    pos_scores = patybred.score_facts(graph.triples, idx, graph.types, models)
+    neg = patybred.generate_negatives(
+        patybred.sample_positives(graph.triples), graph.triples, graph.n_entities)
+    neg_scores = patybred.score_facts(neg, idx, graph.types, models)
+    mp = pos_scores.agg(F.avg("score")).first()[0]
+    mn = neg_scores.agg(F.avg("score")).first()[0]
+    assert mp > mn + 0.2, (mp, mn)
+
+
+def test_patybred_detects_errors(spark):
+    m = patybred.patybred_metrics(spark, SF_TINY, 0.05).first()
+    assert m["roc_auc"] > 0.7, dict(m.asDict())
+    assert m["pr_auc"] > 0.3, dict(m.asDict())
+
+
+def test_scoring_partition_invariance(spark, graph, idx):
+    """Same scores at different parallelism (N vs 4N requirement)."""
+    models = patybred.fit_models(graph.triples, idx, graph.types, graph.n_entities)
+    a = patybred.score_facts(
+        graph.triples.repartition(1), idx, graph.types, models
+    ).withColumn("score", F.round("score", 9))
+    b = patybred.score_facts(
+        graph.triples.repartition(16), idx, graph.types, models
+    ).withColumn("score", F.round("score", 9))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
