@@ -17,8 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import (encode, errorsgen, extract, link, patybred, pipeline,
-                     scoring, synth, typesys)
+from kgspark import (dedup, encode, errorsgen, extract, link, multimodal,
+                     patybred, pipeline, scoring, simsearch, synth, textstats,
+                     typesys)
 
 P_ERROR = 0.05
 
@@ -165,6 +166,66 @@ def _q_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_metrics(spark, sf, P_ERROR)
 
 
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup.dedup_exact(_docs(spark, sf))
+
+
+def _q_dedup_minhash(spark, sf):
+    return dedup.dedup_minhash(_docs(spark, sf), 0.4)
+
+
+def _q_simhash(spark, sf):
+    return dedup.simhash(_docs(spark, sf))
+
+
+def _q_simhash_pairs(spark, sf):
+    return dedup.simhash_pairs(_docs(spark, sf), 6)
+
+
+def _q_ann_brute(spark, sf):
+    return simsearch.ann_bruteforce(_emb(spark, sf))
+
+
+def _q_ann_lsh(spark, sf):
+    return simsearch.ann_lsh(_emb(spark, sf))
+
+
+def _q_emb_neardup(spark, sf):
+    return simsearch.embedding_near_dup(_emb(spark, sf), 0.35)
+
+
+def _q_token_stats(spark, sf):
+    return textstats.token_stats(_docs(spark, sf))
+
+
+def _q_quality(spark, sf):
+    return textstats.quality_scores(_docs(spark, sf))
+
+
+def _q_langid(spark, sf):
+    return textstats.lang_id(_docs(spark, sf))
+
+
+def _q_fingerprints(spark, sf):
+    return textstats.fingerprints(_docs(spark, sf))
+
+
+def _q_media_meta(spark, sf):
+    return multimodal.media_meta(multimodal.media_table(_docs(spark, sf)))
+
+
+def _q_media_features(spark, sf):
+    return multimodal.extract_features(multimodal.media_table(_docs(spark, sf)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_repo_files": _q_repo_files,
@@ -193,6 +254,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_flagship_ranked": _q_flagship,
         "kg_eval_metrics": _q_metrics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_emb_neardup,
+        "text_token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "text_langid": _q_langid,
+        "text_fingerprints": _q_fingerprints,
+        "mm_media_meta": _q_media_meta,
+        "mm_media_features": _q_media_features,
     }
 
 
@@ -238,5 +312,19 @@ def oracle_sql() -> dict[str, str]:
         # the driver records the weaker rows-only check for them.
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "dedup_minhash_lsh": dedup.dedup_minhash_sql(0.4),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(6),
+        "ann_cosine_topk": simsearch.ann_bruteforce_sql(),
+        "ann_lsh_topk": simsearch.ann_lsh_sql(),
+        "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
+        "text_token_stats": textstats.token_stats_sql(),
+        "text_quality": textstats.quality_scores_sql(),
+        "text_langid": textstats.lang_id_sql(),
+        "text_fingerprints": textstats.fingerprints_sql(),
+        "mm_media_meta": multimodal.media_meta_sql(),
+        # mm_media_features intentionally omitted: mapInPandas feature
+        # extraction (stubbed decode) is not SQL-expressible → rows-only.
     }
     return {k: materialize_ctes(v) for k, v in plain.items()}

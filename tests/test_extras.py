@@ -1,0 +1,134 @@
+"""Dedup / similarity-search / text-analysis / multimodal operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import dedup, multimodal, simsearch, textstats
+from tests.conftest import SF_TINY, assert_df_equal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def test_dedup_exact_parity(spark, duck, docs):
+    assert_df_equal(dedup.dedup_exact(docs), duck.execute(dedup.dedup_exact_sql()))
+
+
+def test_dedup_exact_finds_planted_dups(spark, docs):
+    """Plant real duplicates and check they group under min doc_id."""
+    extra = docs.limit(3).select((F.col("doc_id") + 100000).alias("doc_id"),
+                                 "text", "lang", "source", "n_chars")
+    g = dedup.dedup_exact(docs.unionByName(extra))
+    dups = g.where(F.col("group_size") == 2)
+    assert dups.count() == 6  # 3 pairs x 2 members
+    assert dups.where(F.col("rep") > 100000).count() == 0
+
+
+def test_dedup_minhash_parity_and_semantics(spark, duck, docs):
+    got = dedup.dedup_minhash(docs, 0.4)
+    assert_df_equal(got, duck.execute(dedup.dedup_minhash_sql(0.4)))
+    assert got.where("jaccard < 0.4").count() == 0
+    assert got.count() > 0  # the corpus contains seeded near-dups
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, docs):
+    """LSH recall check: every pair with very high exact Jaccard must be
+    found by banding (prob. miss at j=0.9 with 4x3 bands ≈ (1-.729)^4 < 1%;
+    the seeded near-dups here are ~0.98)."""
+    sh = dedup.shingles(docs).cache()
+    cand = dedup.lsh_pairs(sh)
+    high = dedup.jaccard_verify(cand, sh, threshold=0.9)
+    assert high.count() > 0
+
+
+def test_simhash_parity(spark, duck, docs):
+    assert_df_equal(dedup.simhash(docs), duck.execute(dedup.simhash_sql()))
+    got = dedup.simhash_pairs(docs, 6)
+    assert_df_equal(got, duck.execute(dedup.simhash_pairs_sql(6)))
+
+
+def test_ann_bruteforce_parity(spark, duck, emb):
+    assert_df_equal(simsearch.ann_bruteforce(emb),
+                    duck.execute(simsearch.ann_bruteforce_sql()))
+
+
+def test_ann_topk_shape(spark, emb):
+    r = simsearch.ann_bruteforce(emb, k=5).cache()
+    per_q = r.groupBy("q_id").count()
+    assert per_q.where("count != 5").count() == 0
+    assert r.where("vec_id = q_id").count() == 0  # self excluded
+    # ranks ordered by descending cosine within query
+    bad = r.alias("x").join(r.alias("y"),
+                            (F.col("x.q_id") == F.col("y.q_id"))
+                            & (F.col("x.rnk") < F.col("y.rnk"))
+                            & (F.col("x.cos") < F.col("y.cos")))
+    assert bad.count() == 0
+
+
+def test_ann_lsh_parity_and_subset(spark, duck, emb):
+    got = simsearch.ann_lsh(emb)
+    assert_df_equal(got, duck.execute(simsearch.ann_lsh_sql()))
+    # LSH returns a candidate-restricted ranking: every hit shares the
+    # query's bucket by construction
+    bk = simsearch.lsh_buckets(emb)
+    j = (got.join(bk.withColumnRenamed("vec_id", "q_id")
+                  .withColumnRenamed("bucket", "qb"), "q_id")
+         .join(bk, "vec_id"))
+    assert j.where("qb != bucket").count() == 0
+
+
+def test_textstats_parity(spark, duck, docs):
+    assert_df_equal(textstats.token_stats(docs),
+                    duck.execute(textstats.token_stats_sql()))
+    assert_df_equal(textstats.quality_scores(docs),
+                    duck.execute(textstats.quality_scores_sql()))
+    assert_df_equal(textstats.lang_id(docs),
+                    duck.execute(textstats.lang_id_sql()))
+    assert_df_equal(textstats.fingerprints(docs),
+                    duck.execute(textstats.fingerprints_sql()))
+
+
+def test_quality_bounds(spark, docs):
+    q = textstats.quality_scores(docs)
+    bad = q.where((F.col("quality") < 0) | (F.col("quality") > 1))
+    assert bad.count() == 0
+
+
+def test_media_meta_parity(spark, duck, docs):
+    media = multimodal.media_table(docs)
+    assert_df_equal(multimodal.media_meta(media),
+                    duck.execute(multimodal.media_meta_sql()))
+
+
+def test_media_features_deterministic(spark, docs):
+    media = multimodal.media_table(docs)
+    a = multimodal.extract_features(media.repartition(1)).collect()
+    b = multimodal.extract_features(media.repartition(8)).collect()
+    am = {r["media_id"]: r["feature"] for r in a}
+    bm = {r["media_id"]: r["feature"] for r in b}
+    assert am == bm
+    v = np.array(next(iter(am.values())))
+    assert abs(float(np.sqrt((v * v).sum())) - 1.0) < 1e-9  # unit norm
+    assert len(v) == multimodal.FEATURE_DIM
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image")
+
+
+def test_frame_sample_plumbing(spark, docs):
+    media = multimodal.media_table(docs.limit(10))
+    fs = multimodal.frame_sample(media, every=7, n_frames=4)
+    assert fs.count() == 40
+    assert fs.select("media_id", "frame").distinct().count() == 40
