@@ -17,9 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import (dedup, encode, errorsgen, extract, link, multimodal,
-                     patybred, pipeline, scoring, simsearch, synth, textstats,
-                     typesys)
+from kgspark import (dedup, encode, errorsgen, evalops, extract, hierarchy,
+                     link, multimodal, patybred, pipeline, scoring, simsearch,
+                     synth, textstats, typesys)
 
 P_ERROR = 0.05
 
@@ -166,6 +166,46 @@ def _q_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_metrics(spark, sf, P_ERROR)
 
 
+def _q_types_closure(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    ta = typesys.type_assertions(g.entities, g.triples, g.relations)
+    return hierarchy.types_closure(ta, g.type_names)
+
+
+def _q_domran_materialize(spark, sf):
+    return hierarchy.materialize_domains_ranges(
+        pipeline.build_graph(spark, sf).triples_str)
+
+
+def _q_omnipresent(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    return hierarchy.omnipresent_types(g.types, g.n_entities)
+
+
+def _q_zscore(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    sdv = scoring.sdvalidate_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+    return evalops.zscore_outlier(sdv)
+
+
+def _q_linkpred(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    return evalops.link_prediction_eval(g.triples, g.types, g.entities)
+
+
+def _q_word_freq(spark, sf):
+    return evalops.word_freq(pipeline.build_graph(spark, sf).triples_str)
+
+
+def _q_symspell(spark, sf):
+    return link.symspell_pairs(pipeline.build_graph(spark, sf).triples_raw)
+
+
+def _q_dl_pairs(spark, sf):
+    return link.dl_pairs(pipeline.build_graph(spark, sf).triples_raw)
+
+
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -254,6 +294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_flagship_ranked": _q_flagship,
         "kg_eval_metrics": _q_metrics,
+        "kg_types_closure": _q_types_closure,
+        "kg_domran_materialize": _q_domran_materialize,
+        "kg_omnipresent_types": _q_omnipresent,
+        "kg_zscore_outlier": _q_zscore,
+        "kg_link_prediction_eval": _q_linkpred,
+        "kg_word_freq": _q_word_freq,
+        "kg_symspell_pairs": _q_symspell,
+        "kg_dl_pairs": _q_dl_pairs,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_simhash,
@@ -312,6 +360,14 @@ def oracle_sql() -> dict[str, str]:
         # the driver records the weaker rows-only check for them.
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
+        "kg_types_closure": hierarchy.types_closure_sql(raw),
+        "kg_domran_materialize": hierarchy.domran_materialize_sql(raw),
+        "kg_omnipresent_types": hierarchy.omnipresent_types_sql(raw),
+        "kg_zscore_outlier": evalops.zscore_outlier_sql(raw),
+        "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
+        "kg_word_freq": evalops.word_freq_sql(raw),
+        "kg_symspell_pairs": link.symspell_pairs_sql(raw),
+        "kg_dl_pairs": link.dl_pairs_sql(raw),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_sql(0.4),
         "dedup_simhash": dedup.simhash_sql(),

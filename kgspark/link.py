@@ -194,6 +194,74 @@ def canonicalize_triples(triples_raw: DataFrame, prefix: str = "module:") -> Dat
     )
 
 
+_DELETES_EXPR = (
+    "transform(sequence(0, length(norm)),"
+    " i -> CASE WHEN i = 0 THEN norm"
+    " ELSE concat(substr(norm, 1, i - 1), substr(norm, i + 1)) END)"
+)
+
+
+def symspell_pairs(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame:
+    """SymSpell delete-variant blocking → verified pairs (J8 original form).
+
+    Reference: delete-variant dictionary buckets at
+    /root/reference/entityasm.py:137-160 + deletes generation
+    /root/reference/util.py:60-77. Mentions sharing any distance-≤1 delete
+    variant become candidates; verified with levenshtein ≤ 1.
+    """
+    m = normalize_mentions(triples_raw, prefix)
+    v = m.select("name", "norm", F.explode(F.expr(_DELETES_EXPR)).alias("var")) \
+        .distinct()
+    l = v.select(F.col("var"), F.col("name").alias("a"), F.col("norm").alias("norm_a"))
+    r = v.select(F.col("var"), F.col("name").alias("b"), F.col("norm").alias("norm_b"))
+    return (
+        l.join(r, "var").where(F.col("a") < F.col("b"))
+        .where(F.levenshtein("norm_a", "norm_b") <= 1)
+        .select("a", "b").distinct()
+    )
+
+
+from pyspark.sql.types import IntegerType  # noqa: E402  (session-free type)
+
+
+@F.pandas_udf(IntegerType())
+def damerau_levenshtein_udf(a, b):
+    """Exact Damerau-Levenshtein (with transpositions) — the reference's
+    dameraulevenshtein at /root/reference/util.py:16-57, vectorized."""
+    import pandas as pd
+
+    def dl(x: str, y: str) -> int:
+        if x == y:
+            return 0
+        lx, ly = len(x), len(y)
+        prev2, prev = None, list(range(ly + 1))
+        for i in range(1, lx + 1):
+            cur = [i] + [0] * ly
+            for j in range(1, ly + 1):
+                cost = 0 if x[i - 1] == y[j - 1] else 1
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (i > 1 and j > 1 and x[i - 1] == y[j - 2]
+                        and x[i - 2] == y[j - 1]):
+                    cur[j] = min(cur[j], prev2[j - 2] + cost)
+            prev2, prev = prev, cur
+        return prev[ly]
+
+    return pd.Series([dl(x, y) for x, y in zip(a, b)], dtype="int32")
+
+
+def dl_pairs(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame:
+    """LSH candidate pairs annotated with exact Damerau-Levenshtein (F4)."""
+    m = normalize_mentions(triples_raw, prefix)
+    cand = lsh_candidate_pairs(m)
+    na = m.select(F.col("name").alias("a"), F.col("norm").alias("norm_a"))
+    nb = m.select(F.col("name").alias("b"), F.col("norm").alias("norm_b"))
+    return (
+        cand.join(na, "a").join(nb, "b")
+        .select("a", "b",
+                damerau_levenshtein_udf("norm_a", "norm_b").alias("dl"))
+    )
+
+
 # ---------------------------------------------------------------- SQL (oracle)
 
 
@@ -317,3 +385,33 @@ tr AS (
 def canonical_triples_sql(triples_cte: str, prefix: str = "module:") -> str:
     return (f"WITH {canonical_tr_ctes(triples_cte, prefix)} "
             "SELECT subj, pred, obj FROM tr")
+
+
+_DELETES_SQL = (
+    "[CASE WHEN i = 0 THEN norm"
+    " ELSE substr(norm, 1, i - 1) || substr(norm, i + 1) END"
+    " for i in generate_series(0, length(norm))]"
+)
+
+
+def symspell_pairs_sql(triples_cte: str, prefix: str = "module:") -> str:
+    return f"""
+WITH tr AS ({triples_cte}),
+{mentions_ctes('tr', prefix)},
+vars AS (
+  SELECT DISTINCT name, norm, unnest({_DELETES_SQL}) AS var FROM mentions)
+SELECT DISTINCT l.name AS a, r.name AS b
+FROM vars l JOIN vars r ON l.var = r.var AND l.name < r.name
+WHERE levenshtein(l.norm, r.norm) <= 1
+"""
+
+
+def dl_pairs_sql(triples_cte: str, prefix: str = "module:") -> str:
+    return f"""
+WITH tr AS ({triples_cte}),
+{mentions_ctes('tr', prefix)},
+{_minhash_ctes()}
+SELECT cand.a, cand.b, damerau_levenshtein(ma.norm, mb.norm) AS dl
+FROM cand JOIN mentions ma ON ma.name = cand.a
+JOIN mentions mb ON mb.name = cand.b
+"""

@@ -25,7 +25,8 @@ from kgspark.util import materialize  # re-export (bench/tests import from here)
 @dataclass
 class Graph:
     repo_files: DataFrame
-    triples_raw: DataFrame
+    triples_raw: DataFrame  # pre-linking (subj, pred, obj) strings
+    triples_str: DataFrame  # canonicalized (subj, pred, obj) strings
     entities: DataFrame
     relations: DataFrame
     triples: DataFrame  # encoded (s, p, o)
@@ -68,7 +69,7 @@ def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
     types, tnames = typesys.build_types(ents, enc, rels)
     if cache:
         types = materialize(types)
-    return Graph(rf, tr, ents, rels, enc, types, tnames, ents.count())
+    return Graph(rf, tr_raw, tr, ents, rels, enc, types, tnames, ents.count())
 
 
 def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1) -> DataFrame:
