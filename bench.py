@@ -1,17 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark harness: headline KG pipeline queries at $SPARK_GRAFT_SF_DIR.
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...,
-   "cores": N}
+   "queries": {name: sec, ...}, "sf": ..., "triples_per_sec": ...}
 
 Modes:
-  python bench.py                # single run at local[$SPARK_GRAFT_CPUS]
-  python bench.py --scaling      # run at local[8] and local[32], report
-                                 # throughput at both + scaling efficiency
-                                 # (the in-sandbox stand-in for N vs 4N
-                                 # executors per BASELINE.md)
+  python bench.py               # single run at local[$SPARK_GRAFT_CPUS]
+  python bench.py --scaling     # same job at local[8] vs local[32] on a
+                                # deterministically replicated corpus
+                                # (compute-bound), reporting throughput at
+                                # both + efficiency — the in-sandbox
+                                # stand-in for N vs 4N executors
 """
 
 from __future__ import annotations
@@ -22,61 +22,112 @@ import sys
 import time
 
 
-def run_once(master: str, sf_dir: str) -> dict:
+def _e2e(spark, rf, p_error=0.05):
+    """extract → link → canonicalize → encode → corrupt → score → rank."""
     from pyspark.sql import functions as F
 
-    from kgspark import pipeline, rank, scoring
+    from kgspark import encode, errorsgen, extract, link, rank, scoring, typesys
+    from kgspark.util import materialize
+
+    t = {}
+    t0 = time.time()
+    tr_raw = materialize(extract.extract_triples(rf))
+    t["extract"] = time.time() - t0
+
+    t0 = time.time()
+    tr = materialize(link.canonicalize_triples(tr_raw))
+    t["link_canonicalize"] = time.time() - t0
+
+    t0 = time.time()
+    ents, rels = encode.build_dims(tr)
+    ents, rels = materialize(ents), materialize(rels)
+    enc = materialize(encode.encode_triples(tr, ents, rels))
+    n_triples = enc.count()
+    t["encode"] = time.time() - t0
+
+    t0 = time.time()
+    types = materialize(typesys.build_types(ents, enc, rels)[0])
+    t["types"] = time.time() - t0
+
+    t0 = time.time()
+    n_entities = ents.count()
+    errs = errorsgen.inject_errors_kind1(enc, n_entities, p_error)
+    noisy = materialize(
+        enc.select("s", "p", "o", F.lit(False).alias("is_error")).unionByName(
+            errs.select("s", "p", "o", F.lit(True).alias("is_error"))))
+    t["inject_errors"] = time.time() - t0
+
+    t0 = time.time()
+    scores = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), types)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    t["sdvalidate_score"] = time.time() - t0
+
+    t0 = time.time()
+    ranked = rank.rank_facts(scores).join(noisy, ["s", "p", "o"])
+    ranked.count()
+    t["rank"] = time.time() - t0
+
+    return t, n_triples, (tr_raw, tr, enc, types, noisy)
+
+
+def run_once(master: str, sf_dir: str, replicate: int = 0,
+             extras: bool = True) -> dict:
+    from kgspark import synth
     from kgspark.session import get_spark
 
     spark = get_spark("kgspark-bench", master=master)
-    timings: dict[str, float] = {}
-    t_total0 = time.time()
+    t_all0 = time.time()
+    if replicate:
+        rf = synth.repo_files_scaled(spark, sf_dir, replicate)
+    else:
+        rf = synth.repo_files(spark, sf_dir)
 
-    # ---- stage 1: extract + encode (E1 ingest analog)
-    t0 = time.time()
-    g = pipeline.build_graph(spark, sf_dir)
-    n_triples = g.triples.count()
-    timings["extract_encode"] = time.time() - t0
+    timings, n_triples, (tr_raw, tr, enc, types, noisy) = _e2e(spark, rf)
+    e2e_sec = time.time() - t_all0
 
-    # ---- stage 2: type system
-    t0 = time.time()
-    n_types = g.types.count()
-    timings["types"] = time.time() - t0
+    if extras:
+        from pyspark.sql import functions as F
 
-    # ---- stage 3: corrupt + score + rank (E2/E3 analog)
-    t0 = time.time()
-    noisy = pipeline.materialize(pipeline.noisy_facts(g, 0.05))
-    timings["inject_errors"] = time.time() - t0
+        import kgspark.patybred as pb
+        from kgspark import dedup, rank, scoring, simsearch, textstats
 
-    t0 = time.time()
-    scores = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), g.types)
-    scores = pipeline.materialize(scores.withColumn("score", F.round("score", 6)))
-    timings["sdvalidate_score"] = time.time() - t0
+        t0 = time.time()
+        idx = pb.enumerate_paths(enc, 4)
+        n_ents = enc.selectExpr("max(greatest(s, o)) m").first()["m"]
+        models = pb.fit_models(enc, idx, types, int(n_ents))
+        pb.score_facts(enc, idx, types, models).count()
+        timings["patybred_train_score"] = time.time() - t0
 
-    t0 = time.time()
-    ranked = rank.rank_facts(scores)
-    flagged = ranked.join(noisy, ["s", "p", "o"])
-    n_ranked = flagged.count()
-    timings["rank"] = time.time() - t0
+        t0 = time.time()
+        sc = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), types) \
+            .withColumn("score", F.round("score", 6))
+        rank.evaluate(rank.rank_facts(sc).join(noisy, ["s", "p", "o"])).collect()
+        timings["evaluate_metrics"] = time.time() - t0
 
-    t0 = time.time()
-    rank.evaluate(flagged).collect()
-    timings["evaluate"] = time.time() - t0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.time()
+        dedup.dedup_minhash(docs, 0.4).count()
+        timings["dedup_minhash"] = time.time() - t0
+        t0 = time.time()
+        dedup.simhash_pairs(docs, 6).count()
+        timings["dedup_simhash"] = time.time() - t0
+        t0 = time.time()
+        simsearch.ann_bruteforce(emb).count()
+        timings["ann_topk"] = time.time() - t0
+        t0 = time.time()
+        textstats.quality_scores(docs).count()
+        textstats.lang_id(docs).count()
+        timings["textstats"] = time.time() - t0
 
-    # ---- additional scorers
-    t0 = time.time()
-    scoring.domran_scores(g.triples, g.types).count()
-    timings["domran_score"] = time.time() - t0
-
-    total = time.time() - t_total0
+    total = time.time() - t_all0
     spark.stop()
     return {
-        "total_sec": total,
+        "total_sec": round(total, 3),
+        "e2e_sec": round(e2e_sec, 3),
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "n_triples": n_triples,
-        "n_ranked": n_ranked,
-        "n_types": n_types,
-        "triples_per_sec": round(n_triples / total, 1),
+        "triples_per_sec": round(n_triples / e2e_sec, 1),
     }
 
 
@@ -86,31 +137,36 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
+        replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
         lo_n, hi_n = 8, 32
-        lo = run_once(f"local[{lo_n}]", sf_dir)
-        hi = run_once(f"local[{hi_n}]", sf_dir)
+        lo = run_once(f"local[{lo_n}]", sf_dir, replicate, extras=False)
+        hi = run_once(f"local[{hi_n}]", sf_dir, replicate, extras=False)
         eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_n / lo_n)
         out = {
-            "metric": "kg pipeline e2e (extract→encode→corrupt→score→rank) scaling",
-            "value": round(hi["total_sec"], 3),
+            "metric": "kg pipeline e2e scaling (extract→link→encode→corrupt→score→rank)",
+            "value": hi["e2e_sec"],
             "unit": "sec",
             "queries": hi["queries"],
             "sf": sf,
+            "replicate": replicate,
+            "n_triples": hi["n_triples"],
             "scaling": {
-                f"local[{lo_n}]": lo["triples_per_sec"],
-                f"local[{hi_n}]": hi["triples_per_sec"],
+                f"local[{lo_n}]_triples_per_sec": lo["triples_per_sec"],
+                f"local[{hi_n}]_triples_per_sec": hi["triples_per_sec"],
+                f"local[{lo_n}]_sec": lo["e2e_sec"],
+                f"local[{hi_n}]_sec": hi["e2e_sec"],
                 "efficiency": round(eff, 3),
             },
-            "triples_per_sec": hi["triples_per_sec"],
         }
     else:
         r = run_once(f"local[{cpus}]", sf_dir)
         out = {
-            "metric": "kg pipeline e2e (extract→encode→corrupt→score→rank)",
-            "value": round(r["total_sec"], 3),
+            "metric": "kg pipeline e2e (extract→link→encode→corrupt→score→rank) + operator suite",
+            "value": r["total_sec"],
             "unit": "sec",
             "queries": r["queries"],
             "sf": sf,
+            "e2e_sec": r["e2e_sec"],
             "n_triples": r["n_triples"],
             "triples_per_sec": r["triples_per_sec"],
             "cores": int(cpus),

@@ -95,14 +95,104 @@ class PathIndex:
         return sorted(self.paths)
 
 
+def path_relevances(
+    paths: dict[tuple[int, ...], DataFrame],
+    supports: dict[tuple[int, ...], int],
+    candidates: list[tuple[tuple[int, ...], int]],
+    mode: str,
+) -> dict[tuple[int, ...], float]:
+    """J2 endpoint-overlap relevance of composing `path ⊕ r2` — the
+    reference's cardinality estimation before the join
+    (patybred.py:97-138). One distributed pass computes the overlap
+    aggregates for ALL candidates (endpoint sets unioned under a tag, then
+    a single join + groupBy), instead of per-candidate set intersections.
+
+    Modes: random | mult | inter | m1 | m2 (reference semantics; relevance
+    0 when the composing endpoints don't intersect).
+    """
+    need: set[tuple[tuple[int, ...], str]] = set()
+    for p1, r2 in candidates:
+        need.add((p1, "col"))
+        need.add(((r2,), "row"))
+        if mode in ("m1", "m2"):
+            need.add((p1, "row"))
+            need.add(((r2,), "col"))
+
+    parts = []
+    for path, side in sorted(need):
+        col = "o" if side == "col" else "s"
+        parts.append(paths[path].select(
+            F.lit("_".join(map(str, path))).alias("pid"),
+            F.lit(side).alias("side"),
+            F.col(col).alias("e")).distinct())
+    eps = parts[0]
+    for q in parts[1:]:
+        eps = eps.unionByName(q)
+    eps = materialize(eps)
+
+    def _pid(path):
+        return "_".join(map(str, path))
+
+    # pairwise counts for every candidate in one pass per aggregate kind
+    pairs_df = eps.sparkSession.createDataFrame(
+        [(_pid(p1), _pid((r2,)), _pid(p1 + (r2,))) for p1, r2 in candidates],
+        "a string, b string, key string")
+    a_col = eps.where(F.col("side") == "col").select(
+        F.col("pid").alias("a"), "e")
+    b_row = eps.where(F.col("side") == "row").select(
+        F.col("pid").alias("b"), "e")
+    inter = (pairs_df.join(a_col, "a").join(b_row, ["b", "e"])
+             .groupBy("key").agg(F.count("*").alias("inter")))
+    inter_map = {r["key"]: r["inter"] for r in inter.collect()}
+
+    extra: dict[str, int] = {}
+    if mode in ("m1", "m2"):
+        a_row = eps.where(F.col("side") == "row").select(
+            F.col("pid").alias("a"), "e")
+        b_col = eps.where(F.col("side") == "col").select(
+            F.col("pid").alias("b"), "e")
+        if mode == "m1":
+            x = (pairs_df.join(a_row, "a").join(b_col, ["b", "e"])
+                 .groupBy("key").agg(F.count("*").alias("x")))
+        else:  # m2: |s1 ∪ o2|
+            u = pairs_df.join(a_row, "a").select("key", "e").unionByName(
+                pairs_df.join(b_col, "b").select("key", "e")).distinct()
+            x = u.groupBy("key").agg(F.count("*").alias("x"))
+        extra = {r["key"]: r["x"] for r in x.collect()}
+
+    rel: dict[tuple[int, ...], float] = {}
+    for p1, r2 in candidates:
+        key = _pid(p1 + (r2,))
+        i = inter_map.get(key, 0)
+        if i == 0:
+            rel[p1 + (r2,)] = 0.0
+        elif mode == "random":
+            rel[p1 + (r2,)] = 1.0
+        elif mode == "mult":
+            rel[p1 + (r2,)] = float(supports[p1] * supports[(r2,)])
+        elif mode == "inter":
+            rel[p1 + (r2,)] = float(i)
+        elif mode == "m1":
+            rel[p1 + (r2,)] = float(i) / (extra.get(key, 0) + 1.0)
+        elif mode == "m2":
+            rel[p1 + (r2,)] = float(i * extra.get(key, 0))
+        else:
+            raise ValueError(f"unknown path_selection_mode {mode!r}")
+    return rel
+
+
 def enumerate_paths(
     triples: DataFrame,
     R: int,
     min_sup: int = MIN_SUP,
     max_nnz: int = MAX_NNZ,
     max_depth: int = 2,
+    max_paths_per_level: int | None = None,
+    path_selection_mode: str = "inter",
 ) -> PathIndex:
-    """Path BFS with pruning (patybred.py:199-296)."""
+    """Path BFS with pruning (patybred.py:199-296); optional top-N beam
+    per level by endpoint-overlap relevance (W5, patybred.py:244-253),
+    ties broken by path tuple for determinism."""
     aug = materialize(augmented(triples, R).distinct())
     syms = symmetric_relations(triples)
     relevant = [p for p in range(1, 2 * R + 1) if not (p > R and (p - R) in syms)]
@@ -136,6 +226,15 @@ def enumerate_paths(
                     continue
                 seen.add(new)
                 candidates.append(new)
+
+        if (max_paths_per_level is not None
+                and len(candidates) > max_paths_per_level):
+            rel = path_relevances(
+                paths, supports,
+                [(c[:-1], c[-1]) for c in candidates], path_selection_mode)
+            candidates = sorted(
+                candidates, key=lambda c: (-rel.get(c, 0.0), c)
+            )[:max_paths_per_level]
 
         next_paths = []
         for new in candidates:

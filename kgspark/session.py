@@ -36,9 +36,15 @@ def get_spark(
         # Adaptive execution: runtime re-plan, skew-join splitting, partition
         # coalescing — belt-and-braces on top of our explicit salting.
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing trims small-partition overhead in steady state, but for
+        # core-count scaling comparisons (bench --scaling) it must be off so
+        # parallelism tracks the configured 2x-cores shuffle partitions.
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                os.environ.get("SPARK_GRAFT_COALESCE", "true"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"))
         # Arrow for every pandas UDF boundary (mention extraction, model fit).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

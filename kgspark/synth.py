@@ -95,3 +95,23 @@ def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("kgspark_documents")
     return spark.sql(repo_files_sql("spark", "kgspark_documents"))
+
+
+def repo_files_scaled(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:
+    """Deterministically replicate the corpus ``replicate``× for scaling
+    runs (no external data): copy k gets doc_ids offset by k·10^6, giving
+    distinct files/repos but the same skew shape. Used by bench --scaling
+    so compute, not fixed overhead, dominates the N-vs-4N comparison."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    reps = spark.range(replicate).select(F.col("id").alias("_k"))
+    scaled = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("_k") * 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    # the source is one small parquet file (1 scan partition) — spread the
+    # replicated corpus across the executors before the pipeline starts
+    scaled = scaled.repartition(spark.sparkContext.defaultParallelism * 2)
+    scaled.createOrReplaceTempView("kgspark_documents_scaled")
+    return spark.sql(repo_files_sql("spark", "kgspark_documents_scaled"))

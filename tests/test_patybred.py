@@ -111,3 +111,46 @@ def test_scoring_partition_invariance(spark, graph, idx):
         graph.triples.repartition(16), idx, graph.types, models
     ).withColumn("score", F.round("score", 9))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_beam_selection_matches_python_oracle(spark, graph, idx):
+    """W5/J2: top-N beam per level by endpoint-overlap relevance equals a
+    driver-side recomputation over collected endpoint sets."""
+    pairs = {p: {(r["s"], r["o"]) for r in df.collect()}
+             for p, df in idx.paths.items()}
+
+    def ends(p):
+        ps = pairs[p]
+        return {s for s, _ in ps}, {o for _, o in ps}
+
+    R = 4
+    inv = lambda x: x - R if x > R else x + R  # noqa: E731
+    singles = sorted(p for p in idx.paths if len(p) == 1)
+    cands, seen = [], set()
+    for p1 in singles:
+        for r2 in range(1, 2 * R + 1):
+            if p1[-1] == inv(r2):
+                continue
+            new = p1 + (r2,)
+            canon = tuple(inv(i) for i in reversed(new))
+            if new in seen or canon in seen:
+                continue
+            seen.add(new)
+            cands.append(new)
+
+    def rel(c, mode):
+        p1, r2 = c[:-1], c[-1]
+        s1, o1 = ends(p1)
+        s2, o2 = ends((r2,))
+        i = len(o1 & s2)
+        if i == 0:
+            return 0.0
+        return float(i) if mode == "inter" else float(i * len(s1 | o2))
+
+    for mode in ("inter", "m2"):
+        beam = __import__("kgspark.patybred", fromlist=["x"]).enumerate_paths(
+            graph.triples, 4, max_paths_per_level=3, path_selection_mode=mode)
+        got = sorted(p for p in beam.paths if len(p) == 2)
+        want = sorted(sorted(cands, key=lambda c: (-rel(c, mode), c))[:3])
+        assert set(got) <= set(want), (mode, got, want)
+        assert len(got) <= 3
