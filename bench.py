@@ -138,7 +138,8 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
-        lo_n, hi_n = 8, 32
+        lo_n = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+        hi_n = 4 * lo_n
         lo = run_once(f"local[{lo_n}]", sf_dir, replicate, extras=False)
         hi = run_once(f"local[{hi_n}]", sf_dir, replicate, extras=False)
         eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_n / lo_n)
@@ -150,6 +151,7 @@ def main() -> None:
             "sf": sf,
             "replicate": replicate,
             "n_triples": hi["n_triples"],
+            "queries_lo": lo["queries"],
             "scaling": {
                 f"local[{lo_n}]_triples_per_sec": lo["triples_per_sec"],
                 f"local[{hi_n}]_triples_per_sec": hi["triples_per_sec"],

@@ -3,17 +3,19 @@
 Reference analog: the two-pass dictionary build at
 /root/reference/load_kb.py:56-97 assigns ids in first-seen order — not
 reproducible under parallelism. We instead assign ``row_number() over
-(order by name)`` (1-based), which is deterministic and, crucially,
-computed WITHOUT a single-partition global window:
+(order by portable_hash(name), name)`` (1-based): deterministic,
+partition-invariant, oracle-expressible, and computed WITHOUT a
+single-partition global window:
 
-  1. bucket each name by a short prefix (preserves global sort order:
-     bucket is a prefix of the sort key);
-  2. row_number within bucket (parallel);
-  3. bucket offsets = cumulative counts over the (tiny, ≤ |prefix space|)
-     bucket histogram, computed on the driver and broadcast-joined back.
+  1. bucket = the hash's top bits (monotone in the sort key and UNIFORM —
+     a name-prefix bucket would collapse to a handful of skewed buckets
+     because entity names share prefixes like ``file:``);
+  2. row_number within bucket (parallel, ~|names|/1024 per bucket);
+  3. bucket offsets = cumulative counts over the 1024-row histogram,
+     computed on the driver and broadcast-joined back.
 
-This is the standard scalable zipWithIndex pattern expressed in pure
-DataFrame ops, so it survives a 1000-executor / 10^12-row dimension.
+This is the scalable zipWithIndex pattern in pure DataFrame ops, so it
+survives a 1000-executor / 10^12-row dimension.
 """
 
 from __future__ import annotations
@@ -22,12 +24,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kgspark.hashing import phash32, sql_phash32
 
-def dense_ids(names: DataFrame, name_col: str = "name", id_col: str = "id",
-              prefix_len: int = 4) -> DataFrame:
-    """Distinct single-column DataFrame → (id, name), id = rank by name (1-based)."""
-    b = names.select(F.col(name_col)).distinct().withColumn(
-        "_b", F.substring(F.col(name_col), 1, prefix_len)
+N_ID_BUCKETS = 1024
+_BUCKET_SHIFT = 22  # 2^32 / 2^22 = 1024 buckets
+
+
+def _id_order_sql(name_sql: str = "name") -> str:
+    h = sql_phash32(f"concat_ws('|', 'ids', {name_sql})", "duckdb")
+    return f"{h}, {name_sql}"
+
+
+def dense_ids(names: DataFrame, name_col: str = "name",
+              id_col: str = "id") -> DataFrame:
+    """Distinct single-column DataFrame → (id, name), 1-based dense ids
+    ranked by (portable_hash(name), name)."""
+    b = (
+        names.select(F.col(name_col)).distinct()
+        .withColumn("_h", phash32([F.col(name_col)], "ids"))
+        .withColumn("_b", F.shiftright("_h", _BUCKET_SHIFT))
     )
     hist = [(r["_b"], r["cnt"]) for r in
             b.groupBy("_b").agg(F.count("*").alias("cnt")).collect()]
@@ -37,13 +52,14 @@ def dense_ids(names: DataFrame, name_col: str = "name", id_col: str = "id",
         offsets.append((bucket, acc))
         acc += cnt
     spark = names.sparkSession
-    off_df = spark.createDataFrame(offsets, ["_b", "_off"])
+    off_df = spark.createDataFrame(offsets, "`_b` long, `_off` long")
 
-    w = Window.partitionBy("_b").orderBy(name_col)
+    w = Window.partitionBy("_b").orderBy("_h", name_col)
     return (
         b.withColumn("_rn", F.row_number().over(w))
         .join(F.broadcast(off_df), "_b")
-        .select((F.col("_off") + F.col("_rn")).cast("long").alias(id_col), F.col(name_col))
+        .select((F.col("_off") + F.col("_rn")).cast("long").alias(id_col),
+                F.col(name_col))
     )
 
 
@@ -84,7 +100,7 @@ def entities_sql(triples_cte: str) -> str:
 WITH tr AS ({triples_cte}),
 names AS (SELECT DISTINCT name FROM (
   SELECT subj AS name FROM tr UNION ALL SELECT obj FROM tr))
-SELECT row_number() OVER (ORDER BY name) AS id, name FROM names
+SELECT row_number() OVER (ORDER BY {_id_order_sql()}) AS id, name FROM names
 """
 
 
@@ -92,7 +108,7 @@ def relations_sql(triples_cte: str) -> str:
     return f"""
 WITH tr AS ({triples_cte}),
 names AS (SELECT DISTINCT pred AS name FROM tr)
-SELECT row_number() OVER (ORDER BY name) AS id, name FROM names
+SELECT row_number() OVER (ORDER BY {_id_order_sql()}) AS id, name FROM names
 """
 
 
@@ -101,8 +117,8 @@ def encoded_sql(triples_cte: str) -> str:
 WITH tr AS ({triples_cte}),
 names AS (SELECT DISTINCT name FROM (
   SELECT subj AS name FROM tr UNION ALL SELECT obj FROM tr)),
-ent AS (SELECT row_number() OVER (ORDER BY name) AS id, name FROM names),
-rel AS (SELECT row_number() OVER (ORDER BY name) AS id, name
+ent AS (SELECT row_number() OVER (ORDER BY {_id_order_sql()}) AS id, name FROM names),
+rel AS (SELECT row_number() OVER (ORDER BY {_id_order_sql()}) AS id, name
         FROM (SELECT DISTINCT pred AS name FROM tr))
 SELECT CAST(es.id AS BIGINT) AS s, CAST(rel.id AS INT) AS p, CAST(eo.id AS BIGINT) AS o
 FROM tr

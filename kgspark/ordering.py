@@ -1,19 +1,26 @@
 """Scalable deterministic global ordering (SURVEY §2 W1).
 
 ``row_number()`` over an un-partitioned window collapses to a single
-partition — fatal at 10^12 rows. This module computes a global ordinal
-rank with the bucketed two-phase pattern (same as kgspark.encode.dense_ids):
-a deterministic, order-monotone bucket key → parallel within-bucket
-row_number → tiny bucket histogram → broadcast offsets.
+partition — fatal at 10^12 rows. This computes a global ordinal rank with
+range repartitioning:
 
-The bucket key MUST be a non-decreasing function of the sort order
-(e.g. ``floor(score * 1024)`` for a leading ascending score column) so
-that bucket-major + within-bucket order equals the global order.
+  1. ``repartitionByRange`` on the full sort key (boundaries come from
+     sampling, but the FINAL RANK is boundary-independent: it equals the
+     row's position in the total order wherever the cuts land, and the
+     sort key is made total by the caller's tie-break columns);
+  2. per-partition row_number (parallel) — range partition ids are
+     ordered, so global rank = partition offset + local row_number;
+  3. offsets = cumulative counts over the per-partition histogram
+     (one tiny collect).
+
+Unlike value-bucketing schemes (e.g. ``floor(score * K)``), range
+partitioning stays balanced when the leading sort column has few distinct
+values with huge tie groups — the realistic shape for scores.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -22,24 +29,33 @@ def global_ordinal(
     df: DataFrame,
     order_cols: list[str],
     out: str = "rank",
-    bucket: Column | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    if bucket is None:
-        bucket = F.floor(F.col(order_cols[0]) * 1024)
-    b = df.withColumn("_b", bucket.cast("long"))
-    hist = [(r["_b"], r["cnt"]) for r in
-            b.groupBy("_b").agg(F.count("*").alias("cnt")).collect()]
-    hist.sort(key=lambda x: (x[0] is None, x[0]))
-    offsets, acc = [], 0
-    for bk, cnt in hist:
-        offsets.append((bk, acc))
-        acc += cnt
-    off_df = df.sparkSession.createDataFrame(offsets, "`_b` long, `_off` long")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
-    w = Window.partitionBy("_b").orderBy(*[F.col(c) for c in order_cols])
+    from kgspark.util import materialize
+
+    cols = [F.col(c) for c in order_cols]
+    # materialize the ranged layout so the histogram job and the ranking job
+    # see identical partition boundaries (range sampling runs once)
+    ranged = materialize(df.repartitionByRange(num_partitions, *cols)) \
+        .withColumn("_pid", F.spark_partition_id())
+
+    hist = [(r["_pid"], r["cnt"]) for r in
+            ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()]
+    hist.sort(key=lambda x: x[0])
+    offsets, acc = [], 0
+    for pid, cnt in hist:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "`_pid` int, `_off` long")
+
+    w = Window.partitionBy("_pid").orderBy(*cols)
     return (
-        b.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_b")
+        ranged.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
         .withColumn(out, (F.col("_off") + F.col("_rn")).cast("long"))
-        .drop("_b", "_rn", "_off")
+        .drop("_pid", "_rn", "_off")
     )

@@ -337,6 +337,34 @@ def generate_negatives(pos: DataFrame, triples: DataFrame,
     )
 
 
+def generate_negatives_neighborhood(pos: DataFrame, triples: DataFrame,
+                                    n_entities: int,
+                                    p_random: float = 0.01) -> DataFrame:
+    """R2: corrupt o with an object already seen with the same subject
+    (1% fully random) — /root/reference/util.py:504-527, deterministic.
+
+    The per-subject candidate pool is a sorted collect_set (bounded by the
+    subject's out-degree); picks are hash-indexed; collisions with true
+    triples rejected via bounded attempts (same machinery as kind-1).
+    """
+    pool = triples.groupBy("s").agg(
+        F.sort_array(F.collect_set("o")).alias("cands"))
+    sel = pos.join(pool, "s").withColumn("gsz", F.size("cands"))
+    cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
+    use_random = puniform(["s", "p", "o"], "nbrand") < p_random
+    idx = (pick_mod(["s", "p", "o", "a"], F.col("gsz"), "nbneg") + 1).cast("int")
+    picked = F.when(use_random,
+                    pick_mod(["s", "p", "o", "a"], n_entities, "nbneg") + 1) \
+        .otherwise(F.element_at("cands", idx))
+    cand = cand.select(
+        "s", "p", F.col("o").alias("orig_o"), "a", picked.alias("o")
+    ).where(F.col("o") != F.col("orig_o"))
+    cand = cand.join(triples, ["s", "p", "o"], "left_anti")
+    best = cand.groupBy("s", "p", "orig_o").agg(F.min("a").alias("a"))
+    return (cand.join(best, ["s", "p", "orig_o", "a"])
+            .select("s", "p", "o").distinct())
+
+
 # ----------------------------------------------------------------- training
 
 

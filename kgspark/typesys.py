@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgspark.encode import dense_ids
+from kgspark.encode import _id_order_sql, dense_ids
 
 
 def type_assertions(entities: DataFrame, triples: DataFrame,
@@ -66,8 +66,8 @@ def kg_ctes(triples_cte: str, canonical: bool = True) -> str:
 {tr_def},
 names AS (SELECT DISTINCT name FROM (
   SELECT subj AS name FROM tr UNION ALL SELECT obj FROM tr)),
-ent AS (SELECT CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id, name FROM names),
-rel AS (SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS id, name
+ent AS (SELECT CAST(row_number() OVER (ORDER BY {_id_order_sql()}) AS BIGINT) AS id, name FROM names),
+rel AS (SELECT CAST(row_number() OVER (ORDER BY {_id_order_sql()}) AS INT) AS id, name
         FROM (SELECT DISTINCT pred AS name FROM tr)),
 enc AS (SELECT es.id AS s, rel.id AS p, eo.id AS o
         FROM tr JOIN rel ON rel.name = tr.pred
@@ -79,7 +79,7 @@ ta AS (SELECT DISTINCT e, t_name FROM (
   SELECT enc.s AS e, eo.name AS t_name
   FROM enc JOIN rel ON rel.id = enc.p AND rel.name = 'written_in'
   JOIN ent eo ON eo.id = enc.o)),
-tn AS (SELECT CAST(row_number() OVER (ORDER BY t_name) AS INT) AS t, t_name AS name
+tn AS (SELECT CAST(row_number() OVER (ORDER BY {_id_order_sql('t_name')}) AS INT) AS t, t_name AS name
        FROM (SELECT DISTINCT t_name FROM ta)),
 ty AS (SELECT ta.e, tn.t FROM ta JOIN tn ON tn.name = ta.t_name)
 """

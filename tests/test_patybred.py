@@ -154,3 +154,20 @@ def test_beam_selection_matches_python_oracle(spark, graph, idx):
         want = sorted(sorted(cands, key=lambda c: (-rel(c, mode), c))[:3])
         assert set(got) <= set(want), (mode, got, want)
         assert len(got) <= 3
+
+
+def test_neighborhood_negatives(spark, graph):
+    """R2: negatives draw o' from objects of the same subject; never
+    collide with true triples; deterministic across partitionings."""
+    pos = patybred.sample_positives(graph.triples)
+    negs = patybred.generate_negatives_neighborhood(
+        pos, graph.triples, graph.n_entities).cache()
+    assert negs.count() > 0
+    assert negs.join(graph.triples, ["s", "p", "o"], "inner").count() == 0
+    # bulk of negatives reuse an object of the same subject
+    same_s_objs = graph.triples.select("s", "o").distinct()
+    inside = negs.join(same_s_objs, ["s", "o"], "left_semi").count()
+    assert inside >= 0.9 * negs.count()
+    a = patybred.generate_negatives_neighborhood(
+        pos.repartition(1), graph.triples, graph.n_entities)
+    assert a.exceptAll(negs).count() == 0 and negs.exceptAll(a).count() == 0
