@@ -7,11 +7,14 @@ Prints ONE JSON line:
 
 Modes:
   python bench.py               # single run at local[$SPARK_GRAFT_CPUS]
-  python bench.py --scaling     # same job at local[8] vs local[32] on a
-                                # deterministically replicated corpus
-                                # (compute-bound), reporting throughput at
-                                # both + efficiency — the in-sandbox
-                                # stand-in for N vs 4N executors
+  python bench.py --scaling     # same job at local[N] vs local[4N]
+                                # (default 2 vs 8 — the regime where the
+                                # single box is not memory-bandwidth
+                                # saturated, see BASELINE.md) on a
+                                # deterministically replicated corpus;
+                                # reports throughput at both + efficiency
+                                # — the in-sandbox stand-in for N vs 4N
+                                # executors
 """
 
 from __future__ import annotations
@@ -137,8 +140,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if "--scaling" in sys.argv:
-        replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
-        lo_n = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "8"))
+        # parallelism must track core count for the N-vs-4N comparison
+        os.environ.setdefault("SPARK_GRAFT_COALESCE", "false")
+        replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "512"))
+        lo_n = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_n = 4 * lo_n
         lo = run_once(f"local[{lo_n}]", sf_dir, replicate, extras=False)
         hi = run_once(f"local[{hi_n}]", sf_dir, replicate, extras=False)

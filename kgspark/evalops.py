@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from kgspark.hashing import puniform, sql_puniform
 from kgspark.typesys import kg_ctes

@@ -105,13 +105,15 @@ def repo_files_scaled(spark: SparkSession, sf_dir: str, replicate: int) -> DataF
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from pyspark.sql import functions as F
 
-    reps = spark.range(replicate).select(F.col("id").alias("_k"))
-    scaled = docs.crossJoin(reps).select(
+    # Drive the fan-out from the (partitioned) range and BROADCAST the tiny
+    # docs table: the parquet source is one file = one scan split, so a
+    # docs-driven cross join would funnel the whole replicated corpus
+    # through a single task before any parallelism exists.
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    reps = spark.range(0, replicate, 1, n_parts).select(F.col("id").alias("_k"))
+    scaled = reps.join(F.broadcast(docs)).select(
         (F.col("doc_id") + F.col("_k") * 1_000_000).alias("doc_id"),
         "text", "lang", "source", "n_chars",
     )
-    # the source is one small parquet file (1 scan partition) — spread the
-    # replicated corpus across the executors before the pipeline starts
-    scaled = scaled.repartition(spark.sparkContext.defaultParallelism * 2)
     scaled.createOrReplaceTempView("kgspark_documents_scaled")
     return spark.sql(repo_files_sql("spark", "kgspark_documents_scaled"))
