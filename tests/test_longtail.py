@@ -83,3 +83,20 @@ def test_damerau_levenshtein_udf(spark, duck, graph, raw_cte):
 def test_word_freq_parity(spark, duck, graph, raw_cte):
     got = evalops.word_freq(graph.triples_str)
     assert_df_equal(got, duck.execute(evalops.word_freq_sql(raw_cte)))
+
+
+def test_shacl_constraint_export(spark, graph):
+    """M8: compiled constraints reference real relations/types and parse as
+    the reference's output shape (shacl-sparql.py analog)."""
+    from kgspark import constraints, patybred
+
+    idx = patybred.enumerate_paths(graph.triples, 4)
+    models = patybred.fit_models(graph.triples, idx, graph.types,
+                                 graph.n_entities)
+    doc = constraints.compile_shacl(models, graph.relations, graph.type_names)
+    assert "@prefix sh: <http://www.w3.org/ns/shacl#>" in doc
+    assert "sh:SPARQLConstraint" in doc and "SELECT $this ?o WHERE" in doc
+    # one shape per relation with evidence features
+    assert doc.count("a sh:NodeShape") >= 2
+    # conditions reference the KG vocabulary
+    assert "kind:" in doc or "imports" in doc
