@@ -197,13 +197,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str,
 
     facts = noisy.select("s", "p", "o")
     if method == "patybred":
-        def _score():
-            idx = pb.enumerate_paths(facts, rels.count())
-            models = pb.fit_models(facts, idx, types, n_entities)
-            return pb.score_facts(facts, idx, types, models)
-        scores = ck.stage("scores", lambda: _score().withColumn(
-            "score", F.round("score", 6)),
+        # path metadata is cheap to re-derive; the fitted models get their
+        # own persisted stage (S6 model sink — reference pickles models,
+        # patybred.py:630-655; ours are a small parquet table)
+        idx = pb.enumerate_paths(facts, rels.count())
+        models = ck.stage(
+            "models", lambda: pb.fit_models(facts, idx, types, n_entities),
             params={"method": method}, deps=["noisy_facts", "types"])
+        scores = ck.stage(
+            "scores",
+            lambda: pb.score_facts(facts, idx, types, models)
+            .withColumn("score", F.round("score", 6)),
+            params={"method": method}, deps=["models"])
     else:
         scores = ck.stage("scores", lambda: scoring.sdvalidate_scores(
             facts, types).withColumn("score", F.round("score", 6)),

@@ -95,6 +95,23 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataF
     return contains.unionByName(written_in).unionByName(imports).unionByName(defines).distinct()
 
 
+# Default deny-list: mention analog of the reference's ontology-namespace
+# entity filter (load_kb.py:12,21-25 drops OWL/RDF/RDFS/... entities, and
+# -nocat drops dct:subject edges). Here: standard-library-ish module
+# mentions carry no linkable signal.
+DENY_PREFIXES = ("module:sys", "module:os", "module:util")
+
+
+def filter_entities(triples: DataFrame,
+                    deny_prefixes: tuple[str, ...] = DENY_PREFIXES) -> DataFrame:
+    """S2: drop triples whose subject/object matches a deny-prefix list."""
+    cond = None
+    for p in deny_prefixes:
+        c = F.col("subj").startswith(p) | F.col("obj").startswith(p)
+        cond = c if cond is None else (cond | c)
+    return triples.where(~cond) if cond is not None else triples
+
+
 # ---------------------------------------------------------------- SQL (oracle)
 
 
@@ -119,3 +136,12 @@ uni AS (
   UNION ALL SELECT * FROM defs)
 SELECT DISTINCT subj, pred, obj FROM uni
 """
+
+
+def filtered_triples_sql(repo_files_cte: str,
+                         deny_prefixes: tuple[str, ...] = DENY_PREFIXES) -> str:
+    conds = " AND ".join(
+        f"subj NOT LIKE '{p}%' AND obj NOT LIKE '{p}%'" for p in deny_prefixes
+    )
+    return (f"WITH t0 AS ({triples_raw_sql(repo_files_cte)}) "
+            f"SELECT subj, pred, obj FROM t0 WHERE {conds}")

@@ -91,6 +91,25 @@ def materialize_domains_ranges(triples_raw: DataFrame) -> DataFrame:
     return subs.unionByName(objs).distinct()
 
 
+def domain_range_ids(relations: DataFrame) -> tuple[dict[int, str], dict[int, str]]:
+    """Relation-id-keyed domain/range type-name dicts for P6 path pruning."""
+    rels = {r["name"]: int(r["id"]) for r in relations.collect()}
+    dom = {rels[k]: v for k, v in DOMAINS.items() if k in rels}
+    ran = {rels[k]: v for k, v in RANGES.items() if k in rels}
+    return dom, ran
+
+
+def merge_equivalent_types(types: DataFrame, equivalences: DataFrame) -> DataFrame:
+    """U1: class-equivalence merge — map type t_from into t_into, dedupe
+    (reference ``typedata[:, t1] += typedata[:, t2]``, load_kb.py:191-196)."""
+    mapped = (
+        types.join(F.broadcast(equivalences),
+                   types.t == equivalences.t_from, "left")
+        .select("e", F.coalesce("t_into", "t").alias("t"))
+    )
+    return mapped.distinct()
+
+
 def omnipresent_types(types: DataFrame, n_entities: int) -> DataFrame:
     """A10: types held by every entity (generate_errors.py:27-28)."""
     return (

@@ -189,13 +189,34 @@ def enumerate_paths(
     max_depth: int = 2,
     max_paths_per_level: int | None = None,
     path_selection_mode: str = "inter",
+    domains: dict[int, str] | None = None,
+    ranges: dict[int, str] | None = None,
 ) -> PathIndex:
     """Path BFS with pruning (patybred.py:199-296); optional top-N beam
     per level by endpoint-overlap relevance (W5, patybred.py:244-253),
-    ties broken by path tuple for determinism."""
+    ties broken by path tuple for determinism.
+
+    ``domains``/``ranges`` (base relation id → type name) enable the P6
+    domain/range-compatibility prune (patybred.py:73-95): a composition
+    path ⊕ r2 is a candidate only if range(last) and domain(r2) are
+    compatible (equal or either None). Inverses swap domain/range
+    (patybred.py:191-196).
+    """
     aug = materialize(augmented(triples, R).distinct())
     syms = symmetric_relations(triples)
     relevant = [p for p in range(1, 2 * R + 1) if not (p > R and (p - R) in syms)]
+
+    dom: dict[int, str | None] = {p: None for p in range(1, 2 * R + 1)}
+    ran: dict[int, str | None] = {p: None for p in range(1, 2 * R + 1)}
+    for p in range(1, R + 1):
+        d = (domains or {}).get(p)
+        g = (ranges or {}).get(p)
+        dom[p], ran[p] = d, g
+        dom[p + R], ran[p + R] = g, d  # inverse swaps domain/range
+
+    def compatible(last: int, r2: int) -> bool:
+        a, b = ran[last], dom[r2]
+        return a is None or b is None or a == b
 
     sup1 = {r["p"]: r["cnt"] for r in
             aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
@@ -220,6 +241,8 @@ def enumerate_paths(
                     continue  # no immediate backtrack
                 if last == r2 and r2 in syms:
                     continue  # no symmetric self-repeat
+                if not compatible(last, r2):
+                    continue  # P6 domain/range pruning
                 new = path + (r2,)
                 canon = tuple(inv(i, R) for i in reversed(new))
                 if new in seen or canon in seen:

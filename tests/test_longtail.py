@@ -100,3 +100,48 @@ def test_shacl_constraint_export(spark, graph):
     assert doc.count("a sh:NodeShape") >= 2
     # conditions reference the KG vocabulary
     assert "kind:" in doc or "imports" in doc
+
+
+def test_filter_entities(spark, graph, duck, raw_cte):
+    """S2 analog: deny-prefix entity filter, oracle-checked."""
+    from kgspark import extract as ex
+    from kgspark import synth as sy
+
+    got = ex.filter_entities(graph.triples_raw)
+    assert_df_equal(got, duck.execute(
+        ex.filtered_triples_sql(sy.repo_files_sql("duckdb"))))
+    assert got.count() <= graph.triples_raw.count()
+
+
+def test_merge_equivalent_types(spark, graph):
+    """U1: mapping t2→t1 unions memberships and dedupes."""
+    two = [r["t"] for r in graph.type_names.limit(2).collect()]
+    eq = spark.createDataFrame([(two[1], two[0])], "t_from int, t_into int")
+    merged = hierarchy.merge_equivalent_types(graph.types, eq)
+    assert merged.where(F.col("t") == two[1]).count() == 0
+    before = graph.types.where(F.col("t").isin(two)).select("e").distinct().count()
+    after = merged.where(F.col("t") == two[0]).count()
+    assert after == before
+
+
+def test_domain_range_path_pruning(spark, graph):
+    """P6: with the vocabulary's domains/ranges, incompatible compositions
+    are pruned; every surviving depth-2 path is type-correct."""
+    from kgspark import patybred
+
+    dom, ran = hierarchy.domain_range_ids(graph.relations)
+    idx = patybred.enumerate_paths(graph.triples, 4, domains=dom, ranges=ran)
+    R = 4
+
+    def dr(p):
+        if p > R:
+            return ran.get(p - R), dom.get(p - R)
+        return dom.get(p), ran.get(p)
+
+    d2 = [p for p in idx.paths if len(p) == 2]
+    assert d2, "typed pruning should still admit compatible paths"
+    for a, b in d2:
+        assert dr(a)[1] == dr(b)[0], (a, b)
+    # and pruning is strictly tighter than the untyped BFS
+    untyped = patybred.enumerate_paths(graph.triples, 4)
+    assert len(d2) <= sum(1 for p in untyped.paths if len(p) == 2)
