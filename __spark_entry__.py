@@ -144,6 +144,12 @@ def _q_patybred_negatives(spark: SparkSession, sf: str) -> DataFrame:
     return patybred.generate_negatives(pos, g.triples, g.n_entities)
 
 
+def _q_patybred_negatives_pra(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    idx = patybred.enumerate_paths(g.triples, g.relations.count())
+    return patybred.generate_negatives_pra(g.triples, idx)
+
+
 def _q_patybred_features(spark: SparkSession, sf: str) -> DataFrame:
     g = pipeline.build_graph(spark, sf)
     idx = patybred.enumerate_paths(g.triples, g.relations.count())
@@ -289,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relation_support": _q_relation_support,
         "kg_paths_depth2": _q_paths_depth2,
         "kg_patybred_negatives": _q_patybred_negatives,
+        "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
         "kg_patybred_features": _q_patybred_features,
         "kg_patybred_ranked": _q_patybred_ranked,
         "kg_patybred_metrics": _q_patybred_metrics,
@@ -354,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_relation_support": patybred.relation_support_sql(raw),
         "kg_paths_depth2": patybred.paths_depth2_sql(raw),
         "kg_patybred_negatives": patybred.negatives_sql(raw),
+        "kg_patybred_negatives_pra": patybred.negatives_pra_sql(raw),
         "kg_patybred_features": patybred.features_long_sql(raw),
         # kg_patybred_ranked / kg_patybred_metrics intentionally omitted:
         # classifier fit (applyInPandas numpy LR) is not SQL-expressible;

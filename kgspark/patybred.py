@@ -388,6 +388,79 @@ def generate_negatives_neighborhood(pos: DataFrame, triples: DataFrame,
             .select("s", "p", "o").distinct())
 
 
+PRA_EXP_BASE = 1.25
+PRA_MAX_RANK = 100_000
+
+
+def pra_positions(exp_base: float = PRA_EXP_BASE,
+                  max_rank: int = PRA_MAX_RANK) -> list[int]:
+    """Exponentially-spaced 1-based ranks ⌊k·base^k⌋ (util.py:534-546)."""
+    out, k = [], 1
+    while True:
+        i = int(k * exp_base**k)
+        if i >= max_rank:
+            return sorted({x + 1 for x in out})
+        out.append(i)
+        k += 1
+
+
+def generate_negatives_pra(triples: DataFrame, idx: PathIndex) -> DataFrame:
+    """R3: PRA-style hard negatives — /root/reference/util.py:530-569.
+
+    For each (relation, subject): score candidate objects by the number of
+    feature paths (excluding the relation's own) connecting subject →
+    candidate; drop true objects; keep candidates at exponentially-spaced
+    ranks. Deterministic variant: positives are excluded BEFORE ranking
+    (the reference keeps them in the ranking and skips forward); ties
+    break by candidate id. The zero-score random tail is not sampled.
+    """
+    memb = path_membership(idx)
+    subjects = triples.select("p", "s").distinct()
+    scored = (
+        subjects.join(memb, "s")
+        .where(~(F.col("_single") & (F.col("_p0") == F.col("p"))))
+        .groupBy("p", "s", "o")
+        .agg(F.count("*").alias("score"))
+    )
+    scored = scored.join(triples, ["s", "p", "o"], "left_anti")
+    w = Window.partitionBy("p", "s").orderBy(F.desc("score"), "o")
+    pos_list = pra_positions()
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk").isin(pos_list))
+        .select("s", "p", "o")
+    )
+
+
+def negatives_pra_sql(triples_cte: str, R: int = 4) -> str:
+    from kgspark.typesys import kg_ctes
+
+    pos_list = ", ".join(map(str, pra_positions()))
+    return f"""
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R)},
+memb AS (
+  SELECT 'path_' || CAST(p AS VARCHAR) AS feat, s, o, TRUE AS single, p AS p0
+  FROM aug JOIN singles USING (p)
+  UNION ALL
+  SELECT 'path_' || CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR),
+         s, o, FALSE, 0
+  FROM pp2 JOIN paths2 USING (p1, p2)),
+subj AS (SELECT DISTINCT p, s FROM enc),
+sc AS (
+  SELECT subj.p, subj.s, memb.o, count(*) AS score
+  FROM subj JOIN memb ON memb.s = subj.s
+  WHERE NOT (memb.single AND memb.p0 = subj.p)
+  GROUP BY subj.p, subj.s, memb.o),
+sc2 AS (
+  SELECT sc.* FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM enc
+                    WHERE enc.s = sc.s AND enc.p = sc.p AND enc.o = sc.o)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY p, s ORDER BY score DESC, o) AS rnk
+       FROM sc2)
+SELECT s, p, o FROM rk WHERE rnk IN ({pos_list})
+"""
+
+
 # ----------------------------------------------------------------- training
 
 

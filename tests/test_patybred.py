@@ -171,3 +171,11 @@ def test_neighborhood_negatives(spark, graph):
     a = patybred.generate_negatives_neighborhood(
         pos.repartition(1), graph.triples, graph.n_entities)
     assert a.exceptAll(negs).count() == 0 and negs.exceptAll(a).count() == 0
+
+
+def test_pra_negatives(spark, duck, graph, idx, raw_cte):
+    """R3: exponential-rank hard negatives, oracle parity + exclusion."""
+    negs = patybred.generate_negatives_pra(graph.triples, idx).cache()
+    assert_df_equal(negs, duck.execute(patybred.negatives_pra_sql(raw_cte)))
+    assert negs.count() > 0
+    assert negs.join(graph.triples, ["s", "p", "o"], "inner").count() == 0
