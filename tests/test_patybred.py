@@ -179,3 +179,55 @@ def test_pra_negatives(spark, duck, graph, idx, raw_cte):
     assert_df_equal(negs, duck.execute(patybred.negatives_pra_sql(raw_cte)))
     assert negs.count() > 0
     assert negs.join(graph.triples, ["s", "p", "o"], "inner").count() == 0
+
+
+def test_fit_matches_pure_pandas_oracle(spark, graph, idx):
+    """SURVEY §5.3: re-run the classifier fit in pure pandas/numpy on the
+    collected training data and assert the Spark applyInPandas models are
+    numerically identical — isolates Spark plumbing from model math for
+    the one pipeline piece without a DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pos = patybred.sample_positives(graph.triples)
+    neg = patybred.generate_negatives(pos, graph.triples, graph.n_entities)
+    train = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0)))
+    fl = patybred.features_long(train.select("s", "p", "o"), idx, graph.types)
+    rows = train.join(
+        fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),
+        ["s", "p", "o"], "left").toPandas()
+
+    # driver-side oracle: identical GD per relation
+    oracle = {}
+    for p, grp in rows.groupby("p"):
+        grp = grp.copy()
+        grp["feats"] = grp["feats"].map(
+            lambda v: sorted(v) if v is not None else [])
+        grp = grp.sort_values(["label", "s", "o"]).reset_index(drop=True)
+        feat_set = sorted({f for r in grp["feats"] for f in r})
+        if not feat_set or grp["label"].nunique() < 2:
+            continue
+        fidx = {f: i for i, f in enumerate(feat_set)}
+        X = np.zeros((len(grp), len(feat_set)))
+        for i, r in enumerate(grp["feats"]):
+            for f in r:
+                X[i, fidx[f]] = 1.0
+        y = grp["label"].to_numpy(dtype=np.float64)
+        w = np.zeros(X.shape[1]); b = 0.0; n = float(len(y))
+        for _ in range(patybred.LR_ITERS):
+            pr = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            g = X.T @ (pr - y) / n + patybred.LR_L2 * w
+            b -= patybred.LR_RATE * float(np.sum(pr - y) / n)
+            w -= patybred.LR_RATE * g
+        for f, wi in zip(feat_set, w):
+            oracle[(int(p), f)] = wi
+        oracle[(int(p), "_bias")] = b
+
+    got = {(int(r["p"]), r["feat"]): r["w"]
+           for r in patybred.fit_models(
+               graph.triples, idx, graph.types, graph.n_entities).collect()}
+    assert set(got) == set(oracle)
+    for k in oracle:
+        assert abs(got[k] - oracle[k]) < 1e-9, (k, got[k], oracle[k])
