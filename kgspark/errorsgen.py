@@ -78,13 +78,21 @@ def inject_errors_kind2(triples: DataFrame, types: DataFrame,
     Type-signature blocking = groupBy sorted type-set (reference J10,
     /root/reference/generate_errors.py:36-42). Groups of size 1 yield no
     candidate and the triple is skipped (the reference resamples instead).
+
+    The group pick is join-based: members are numbered per signature with
+    the range-partitioned grouped ordinal (no per-signature window, no
+    per-row replicated member array — the biggest signature group is
+    O(entities) at scale) and the hash-picked index joins on
+    (sig, index). Same determinism as indexing a sorted member array.
     """
+    from kgspark.ordering import grouped_ordinal
+
     sig = types.groupBy("e").agg(
         F.concat_ws(",", F.sort_array(F.collect_set("t"))).alias("sig")
     )
-    groups = sig.groupBy("sig").agg(F.sort_array(F.collect_list("e")).alias("members"))
-    pool = sig.join(groups, "sig").select("e", "members",
-                                          F.size("members").alias("gsz"))
+    gsz = sig.groupBy("sig").agg(F.count("*").alias("gsz"))
+    members = grouped_ordinal(sig, ["sig"], ["e"], out="_midx")
+    pool = sig.join(gsz, "sig")
 
     sel = triples.where(puniform(["s", "p", "o"], "errsel") < p_error)
     sel = sel.withColumn("side", pick_mod(["s", "p", "o"], 2, "errside"))
@@ -95,8 +103,11 @@ def inject_errors_kind2(triples: DataFrame, types: DataFrame,
 
     cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
     idx = pick_mod(["s", "p", "o", "a"], F.col("gsz"), "errrepl2") + 1
-    cand = cand.withColumn("cand", F.element_at("members", idx.cast("int")))
-    return _finish(cand.drop("members", "gsz", "_tgt"), triples)
+    cand = cand.withColumn("_midx", idx.cast("long")).join(
+        members.select("sig", "_midx", F.col("e").alias("cand")),
+        ["sig", "_midx"],
+    )
+    return _finish(cand.drop("sig", "_midx", "gsz", "_tgt"), triples)
 
 
 # ---------------------------------------------------------------- SQL (oracle)

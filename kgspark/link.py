@@ -180,11 +180,17 @@ def canonical_map(triples_raw: DataFrame, prefix: str = "module:",
 
 
 def canonicalize_triples(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame:
-    """Rewrite object mentions through the canonical map; dedupe (U1 analog)."""
+    """Rewrite object mentions through the canonical map; dedupe (U1 analog).
+
+    Scale note: the map spans every distinct mention of the entity class —
+    at corpus scale that exceeds any broadcast budget, so NO broadcast hint
+    here: AQE picks broadcast when the map is actually small and falls back
+    to a shuffle hash join on ``obj`` otherwise.
+    """
     cmap = canonical_map(triples_raw, prefix)
     return (
         triples_raw.join(
-            F.broadcast(cmap.withColumnRenamed("name", "obj")), "obj", "left"
+            cmap.withColumnRenamed("name", "obj"), "obj", "left"
         )
         .select(
             "subj", "pred",

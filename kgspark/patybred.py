@@ -326,14 +326,19 @@ def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame) -> DataFra
 
 
 def sample_positives(triples: DataFrame, cap: int = MAX_POS_TRAIN) -> DataFrame:
-    """Deterministic per-relation positive cap (patybred.py:495-499, R5)."""
-    w = Window.partitionBy("p").orderBy(puniform(["s", "p", "o"], "pbsub"),
-                                        "s", "o")
-    return (
-        triples.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= cap)
-        .drop("_rn")
-    )
+    """Deterministic per-relation positive cap (patybred.py:495-499, R5).
+
+    Uses the range-partitioned grouped ordinal rather than
+    ``Window.partitionBy("p")`` — with a handful of relations each window
+    partition would hold |triples|/R rows on one task; the range
+    partitioner splits inside a relation because the sort key continues
+    with the per-triple uniform.
+    """
+    from kgspark.ordering import grouped_ordinal
+
+    t = triples.withColumn("_u", puniform(["s", "p", "o"], "pbsub"))
+    t = grouped_ordinal(t, ["p"], ["_u", "s", "o"], out="_rn")
+    return t.where(F.col("_rn") <= cap).drop("_u", "_rn")
 
 
 def generate_negatives(pos: DataFrame, triples: DataFrame,
@@ -366,19 +371,27 @@ def generate_negatives_neighborhood(pos: DataFrame, triples: DataFrame,
     """R2: corrupt o with an object already seen with the same subject
     (1% fully random) — /root/reference/util.py:504-527, deterministic.
 
-    The per-subject candidate pool is a sorted collect_set (bounded by the
-    subject's out-degree); picks are hash-indexed; collisions with true
-    triples rejected via bounded attempts (same machinery as kind-1).
+    The per-subject candidate pool is the distinct (s, o) table numbered
+    by the grouped ordinal and joined on (s, hash-picked index) — no
+    collect_set arrays replicated per row, so hot subjects (a mega-repo's
+    ``contains``) never materialize their whole out-neighborhood in one
+    cell. Collisions with true triples rejected via bounded attempts
+    (same machinery as kind-1).
     """
-    pool = triples.groupBy("s").agg(
-        F.sort_array(F.collect_set("o")).alias("cands"))
-    sel = pos.join(pool, "s").withColumn("gsz", F.size("cands"))
+    from kgspark.ordering import grouped_ordinal
+
+    pool = triples.select("s", "o").distinct()
+    gsz = pool.groupBy("s").agg(F.count("*").alias("gsz"))
+    members = grouped_ordinal(pool, ["s"], ["o"], out="_midx")
+    sel = pos.join(gsz, "s")
     cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
     use_random = puniform(["s", "p", "o"], "nbrand") < p_random
-    idx = (pick_mod(["s", "p", "o", "a"], F.col("gsz"), "nbneg") + 1).cast("int")
+    idx = pick_mod(["s", "p", "o", "a"], F.col("gsz"), "nbneg") + 1
+    cand = cand.withColumn("_midx", idx.cast("long")).join(
+        members.select("s", "_midx", F.col("o").alias("_pick")), ["s", "_midx"])
     picked = F.when(use_random,
                     pick_mod(["s", "p", "o", "a"], n_entities, "nbneg") + 1) \
-        .otherwise(F.element_at("cands", idx))
+        .otherwise(F.col("_pick"))
     cand = cand.select(
         "s", "p", F.col("o").alias("orig_o"), "a", picked.alias("o")
     ).where(F.col("o") != F.col("orig_o"))

@@ -9,17 +9,24 @@ Reference semantics:
   /root/reference/detect_errors.py:16-22.
 * MeanRank / MRR / FMeanRank / FMRR / ROC-AUC / PR-AUC on negated scores —
   /root/reference/detect_errors.py:25-47. AUCs are computed exactly via
-  rank algebra (Mann-Whitney with average ranks; AP with threshold-grouped
-  cumulative precision — the same tie handling as sklearn).
+  rank algebra: ROC is Mann-Whitney with average tie ranks
+  (= sklearn roc_auc_score); PR is the trapezoidal integral over the
+  threshold-grouped (recall, precision) points INCLUDING the appended
+  (recall=0, precision=1) endpoint — exactly sklearn's
+  auc(r, p) over precision_recall_curve output (the reference's PRAUC).
+
+Scale: no unpartitioned windows anywhere — the filtered rank uses the
+range-partitioned global ordinal and the AUC cumsums use the two-phase
+per-partition-prefix + broadcast-offset pattern (kgspark.ordering), so
+every stage stays parallel at any error-subset size.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from kgspark.ordering import global_ordinal
+from kgspark.ordering import global_cumsum, global_ordinal
 
 
 def rank_facts(scored: DataFrame, score_col: str = "score") -> DataFrame:
@@ -31,8 +38,12 @@ def evaluate(ranked: DataFrame, flag_col: str = "is_error") -> DataFrame:
     """1-row metrics DataFrame over a ranked, error-flagged fact table."""
     n = ranked.count()
     errs = ranked.where(F.col(flag_col))
-    w = Window.orderBy("rank")  # error subset only: tiny
-    errs = errs.withColumn("f_rank", F.col("rank") - F.row_number().over(w) + 1)
+    # filtered rank = rank - (# errors ranked before it); the error subset
+    # is p_error · |facts| — far too big for one partition at scale, so the
+    # position comes from the range-partitioned global ordinal (ranks are
+    # unique, so the order is total).
+    errs = global_ordinal(errs, ["rank"], out="_ernk")
+    errs = errs.withColumn("f_rank", F.col("rank") - F.col("_ernk") + 1)
 
     base = errs.agg(
         F.avg("rank").alias("mean_rank"),
@@ -50,9 +61,12 @@ def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
                 score_col: str = "score") -> DataFrame:
     """ROC-AUC + PR-AUC of (low score ⇒ error), via threshold groups.
 
-    Grouping by distinct score keeps the aggregation small and exact; the
-    ascending-score order means "most suspect first", matching the
-    reference's roc_auc_score(errors, -scores).
+    Grouping by distinct score keeps the math exact; the ascending-score
+    order means "most suspect first", matching the reference's
+    roc_auc_score(errors, -scores) / auc over precision_recall_curve.
+    The running sums use the two-phase global cumsum — after 6-dp rounding
+    the number of distinct scores can approach |facts|, so an
+    unpartitioned window here would serialize the whole metric.
     """
     g = (
         scored.groupBy(score_col)
@@ -61,10 +75,16 @@ def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
             F.count("*").alias("c"),
         )
     )
-    w = Window.orderBy(score_col)
-    g = g.withColumn("cum_e", F.sum("e").over(w)).withColumn("cum_c", F.sum("c").over(w))
+    g = global_cumsum(g, [score_col], ["e", "c"])
     # average rank of the tie group (ascending score): cum_c - c + (c+1)/2
     g = g.withColumn("avg_rank", F.col("cum_c") - F.col("c") + (F.col("c") + 1) / 2.0)
+    # trapezoid over (recall, precision): the PREVIOUS curve point is just
+    # (cum - current), and the appended sklearn endpoint (r=0, p=1) is the
+    # prev_c == 0 case — no lag window needed.
+    p_cur = F.col("cum_e") * 1.0 / F.col("cum_c")
+    p_prev = F.when(F.col("cum_c") - F.col("c") > 0,
+                    (F.col("cum_e") - F.col("e")) * 1.0
+                    / (F.col("cum_c") - F.col("c"))).otherwise(F.lit(1.0))
     return g.agg(
         (
             1.0
@@ -75,7 +95,7 @@ def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
             )
         ).alias("roc_auc"),
         (
-            F.sum(F.col("e") * F.col("cum_e") / F.col("cum_c")) / F.sum("e")
+            F.sum(F.col("e") * (p_cur + p_prev) / 2.0) / F.sum("e")
         ).alias("pr_auc"),
     )
 
@@ -110,7 +130,10 @@ cg AS (SELECT *, sum(e) OVER (ORDER BY score) AS cum_e,
 a AS (SELECT
   1.0 - ((sum((cum_c - c + (c + 1) / 2.0) * e) - sum(e) * (sum(e) + 1) / 2.0)
          / (sum(e) * (sum(c) - sum(e)))) AS roc_auc,
-  sum(e * cum_e * 1.0 / cum_c) / sum(e) AS pr_auc FROM cg)
+  sum(e * ((cum_e * 1.0 / cum_c)
+           + (CASE WHEN cum_c - c > 0
+                   THEN (cum_e - e) * 1.0 / (cum_c - c)
+                   ELSE 1.0 END)) / 2.0) / sum(e) AS pr_auc FROM cg)
 SELECT round(mean_rank, {round_to}) AS mean_rank, round(mrr, {round_to}) AS mrr,
        round(f_mean_rank, {round_to}) AS f_mean_rank, round(f_mrr, {round_to}) AS f_mrr,
        n_errors, (SELECT count(*) FROM r) AS n_facts,
