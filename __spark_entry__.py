@@ -269,7 +269,8 @@ def _q_media_meta(spark, sf):
 
 
 def _q_media_features(spark, sf):
-    return multimodal.extract_features(multimodal.media_table(_docs(spark, sf)))
+    return multimodal.extract_features_exploded(
+        multimodal.media_table(_docs(spark, sf)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -388,7 +389,6 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": textstats.lang_id_sql(),
         "text_fingerprints": textstats.fingerprints_sql(),
         "mm_media_meta": multimodal.media_meta_sql(),
-        # mm_media_features intentionally omitted: mapInPandas feature
-        # extraction (stubbed decode) is not SQL-expressible → rows-only.
+        "mm_media_features": multimodal.media_features_sql(),
     }
     return {k: materialize_ctes(v) for k, v in plain.items()}

@@ -90,6 +90,20 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema)
 
 
+def extract_features_exploded(media: DataFrame) -> DataFrame:
+    """Driver-surface shape of :func:`extract_features`: one row per vector
+    component ``(media_id, kind, pos, val)`` — hashable by any canonicalizer
+    (array cells are not), and exactly oracle-checkable because the fake
+    extractor is md5-derived, which DuckDB computes bit-identically
+    (integer byte squares sum exactly; the division is one double op).
+    The array-returning API stays for library users.
+    """
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature").alias("pos", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
 def frame_sample(media: DataFrame, every: int = 7, n_frames: int = 4) -> DataFrame:
     """'Frame sampling' plumbing: deterministic byte-offset slices of the
     payload (the video analog: pick frames at fixed strides) — pure
@@ -116,4 +130,29 @@ SELECT doc_id AS media_id,
        octet_length(encode(text)) AS n_bytes,
        sha256(text) AS sha  -- VARCHAR overload; same utf-8 bytes as the payload
 FROM documents
+"""
+
+
+def media_features_sql() -> str:
+    """Exact oracle for :func:`extract_features_exploded`: the fake
+    extractor is the first ``FEATURE_DIM`` md5 digest bytes, unit-normed —
+    reproducible from DuckDB's md5 hex string."""
+    return f"""
+WITH mfm AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         md5(text) AS h
+  FROM documents),
+mfb AS (
+  SELECT media_id, kind, i AS pos,
+         CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER) AS byte
+  FROM mfm, (SELECT unnest(generate_series(0, {FEATURE_DIM - 1})) AS i) ii),
+mfn AS (
+  SELECT media_id, sqrt(sum(byte * byte)) AS nrm
+  FROM mfb GROUP BY media_id)
+SELECT mfb.media_id, mfb.kind, mfb.pos,
+       round(mfb.byte / (CASE WHEN mfn.nrm = 0 THEN 1.0 ELSE mfn.nrm END), 6)
+         AS val
+FROM mfb JOIN mfn USING (media_id)
 """

@@ -5,15 +5,22 @@
   whole-stage-codegen; no Python). Cross-engine exactness: both Spark and
   the DuckDB oracle fold the products sequentially in double, giving
   bit-identical sums (verified), so scores compare exactly after round(6).
-* LSH-bucketed ANN — the scale path: 8 deterministic ±1 hyperplanes
-  (derived from the portable md5 hash, so both engines use the SAME
-  planes), sign-bit bucket, candidates = same bucket, exact cosine
-  re-rank. Sub-linear candidate generation; recall < 1 by construction.
+* banded LSH ANN — the scale path, same layout as the MinHash dedup
+  (kgspark.dedup): B independent hash tables (bands), each keyed by the
+  sign bits of R deterministic ±1 hyperplanes, plus 1-bit MULTI-PROBE on
+  the query side (all Hamming-distance-≤1 keys per band). Candidates =
+  union over bands of same-(band, key) rows; exact cosine re-rank on the
+  candidates.
 
-Scale notes: brute force is O(|Q|·N) — fine for small query batches, not
-for all-pairs; LSH buckets turn the quadratic join into a hash join on
-bucket id. At 10^12 rows one would add multi-probe + IVF sharding; the
-bucket join + re-rank skeleton is the same.
+Scale notes: candidate generation is a hash join on (band, key) — never a
+single global bucketing of the corpus. Expected bucket size is N / 2^R per
+band: pick R ≈ log2(N / target_bucket) so buckets stay O(near-dup group)
+at any corpus size (R, B are plumbed through every operator), and the
+1-bit probes recover the recall lost to higher R. Pair-probability:
+p_plane(s) = 1 - arccos(s)/π; P(candidate) = 1 - ∏_bands
+(1 - [p^R + R·p^(R-1)(1-p)]) — ≈1.0 for true near-duplicates (s ≥ 0.9)
+at the defaults (B=6, R=8). The recall floor on the fixture is pinned by
+a pytest against the brute-force baseline.
 """
 
 from __future__ import annotations
@@ -24,7 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-N_PLANES = 8
+N_BANDS = 6
+BAND_PLANES = 8
 DIM = 64
 
 
@@ -32,11 +40,17 @@ def _py_phash32(key: str) -> int:
     return int(_md5(key.encode()).hexdigest()[:8], 16)
 
 
-def lsh_planes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
-    """Deterministic ±1 hyperplanes shared by Spark and the oracle."""
+def lsh_planes(n_bands: int = N_BANDS, band_planes: int = BAND_PLANES,
+               dim: int = DIM) -> list[list[list[int]]]:
+    """Deterministic ±1 hyperplanes, [band][row][dim], shared with the
+    oracle (both engines derive them from the same portable md5)."""
     return [
-        [1 if _py_phash32(f"pl|{p}|{i}") % 2 == 1 else -1 for i in range(dim)]
-        for p in range(n_planes)
+        [
+            [1 if _py_phash32(f"pl|{b}|{r}|{i}") % 2 == 1 else -1
+             for i in range(dim)]
+            for r in range(band_planes)
+        ]
+        for b in range(n_bands)
     ]
 
 
@@ -70,27 +84,63 @@ def ann_bruteforce(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame
     )
 
 
-def lsh_buckets(emb: DataFrame) -> DataFrame:
-    """→ (vec_id, bucket): sign-bit bucket over the deterministic planes."""
-    planes = lsh_planes()
-    bucket = F.lit(0).cast("long")
-    for p, w in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in w])
-        d = _dot(F.col("embedding"), lit)
-        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return emb.select("vec_id", bucket.alias("bucket"))
+def lsh_buckets(emb: DataFrame, n_bands: int = N_BANDS,
+                band_planes: int = BAND_PLANES) -> DataFrame:
+    """→ (vec_id, band, key): one hash-table key per band, computed in a
+    single columnar projection (posexplode of the per-band key array)."""
+    planes = lsh_planes(n_bands, band_planes)
+    band_keys = []
+    for b in range(n_bands):
+        key = F.lit(0).cast("long")
+        for r in range(band_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[b][r]])
+            d = _dot(F.col("embedding"), lit)
+            key = key + F.when(d > 0, F.lit(1 << r)).otherwise(F.lit(0))
+        band_keys.append(key)
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*band_keys)).alias("band", "key"))
 
 
-def ann_lsh(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
-    """LSH candidates (same bucket) → exact cosine re-rank → top-k."""
-    e = with_norm(emb)
-    bk = lsh_buckets(emb)
-    e = e.join(bk, "vec_id")
-    q = e.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
-        F.col("norm").alias("qn"), F.col("bucket"))
-    cand = q.join(e.select("vec_id", "embedding", "norm", "bucket"), "bucket") \
+def _probes(key_col, band_planes: int):
+    """Multi-probe key set: the key itself + every 1-bit flip."""
+    return F.array(key_col, *[
+        key_col.bitwiseXOR(F.lit(1 << r)) for r in range(band_planes)
+    ])
+
+
+def lsh_candidates(emb: DataFrame, queries: DataFrame,
+                   n_bands: int = N_BANDS,
+                   band_planes: int = BAND_PLANES,
+                   multiprobe: bool = True) -> DataFrame:
+    """→ distinct (q_id, vec_id) candidate pairs: queries probe each band's
+    table at Hamming distance ≤ 1 (multi-probe), corpus rows sit at their
+    exact keys. ``queries`` = (q_id) subset of vec_ids."""
+    bk = lsh_buckets(emb, n_bands, band_planes)
+    qk = bk.join(queries.withColumnRenamed("q_id", "vec_id"), "vec_id") \
+        .withColumnRenamed("vec_id", "q_id")
+    if multiprobe:
+        qk = qk.select(
+            "q_id", "band",
+            F.explode(_probes(F.col("key"), band_planes)).alias("key"))
+    return (
+        qk.join(bk, ["band", "key"])
         .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+
+
+def ann_lsh(emb: DataFrame, k: int = 5, query_mod: int = 25,
+            n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> DataFrame:
+    """Banded multi-probe LSH candidates → exact cosine re-rank → top-k."""
+    e = with_norm(emb)
+    queries = emb.where(F.col("vec_id") % query_mod == 0) \
+        .select(F.col("vec_id").alias("q_id"))
+    cand = lsh_candidates(emb, queries, n_bands, band_planes)
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
+                  F.col("norm").alias("qn"))
+    cand = cand.join(qv, "q_id").join(e.select("vec_id", "embedding", "norm"),
+                                      "vec_id")
     cos = F.round(_dot(F.col("qv"), F.col("embedding"))
                   / (F.col("qn") * F.col("norm")), 6)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
@@ -102,20 +152,34 @@ def ann_lsh(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH buckets (a < b)."""
-    e = with_norm(emb).join(lsh_buckets(emb), "vec_id")
-    l = e.select(F.col("bucket"), F.col("vec_id").alias("a"),
-                 F.col("embedding").alias("va"), F.col("norm").alias("na"))
-    r = e.select(F.col("bucket"), F.col("vec_id").alias("b"),
-                 F.col("embedding").alias("vb"), F.col("norm").alias("nb"))
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
+                       n_bands: int = N_BANDS,
+                       band_planes: int = BAND_PLANES) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) via the banded tables:
+    left side probes (1-bit multi-probe), right side exact keys — the
+    Hamming-≤1 candidate predicate is symmetric, so a<b loses nothing."""
+    e = with_norm(emb)
+    bk = lsh_buckets(emb, n_bands, band_planes)
+    l = bk.select(
+        "band", F.col("vec_id").alias("a"),
+        F.explode(_probes(F.col("key"), band_planes)).alias("key"))
+    r = bk.select("band", "key", F.col("vec_id").alias("b"))
+    pairs = (
+        l.join(r, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                  F.col("norm").alias("na"))
+    vb = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                  F.col("norm").alias("nb"))
     cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        l.join(r, "bucket").where(F.col("a") < F.col("b"))
+        pairs.join(va, "a").join(vb, "b")
         .withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
-        .distinct()
     )
 
 
@@ -144,44 +208,72 @@ SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= {k}
 """
 
 
-def _buckets_cte() -> str:
-    planes = lsh_planes()
-    terms = []
-    for p, w in enumerate(planes):
-        arr = "[" + ", ".join(f"{float(x):.1f}" for x in w) + "]"
-        d = _DOT.format(x="embedding", y=arr)
-        terms.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
-    return ("eb AS (SELECT vec_id, CAST(" + " + ".join(terms)
-            + " AS BIGINT) AS bucket FROM embeddings)")
+def _buckets_cte(n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> str:
+    planes = lsh_planes(n_bands, band_planes)
+    band_rows = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(band_planes):
+            arr = "[" + ", ".join(f"{float(x):.1f}" for x in planes[b][r]) + "]"
+            d = _DOT.format(x="embedding", y=arr)
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << r} ELSE 0 END)")
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, CAST(" + " + ".join(terms)
+            + " AS BIGINT) AS key FROM embeddings")
+    body = " UNION ALL ".join(band_rows)
+    return f"eb AS ({body})"
 
 
-def lsh_buckets_sql() -> str:
-    return f"WITH {_buckets_cte()} SELECT vec_id, bucket FROM eb"
+def _probes_cte(band_planes: int = BAND_PLANES) -> str:
+    vals = ", ".join(["(0)"] + [f"({1 << r})" for r in range(band_planes)])
+    return f"flips(f) AS (VALUES {vals})"
 
 
-def ann_lsh_sql(k: int = 5, query_mod: int = 25) -> str:
+def lsh_buckets_sql(n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> str:
+    return (f"WITH {_buckets_cte(n_bands, band_planes)} "
+            "SELECT vec_id, band, key FROM eb")
+
+
+def ann_lsh_sql(k: int = 5, query_mod: int = 25,
+                n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> str:
     d = _DOT.format(x="q.embedding", y="e.embedding")
     return f"""
-WITH {_norm_cte()}, {_buckets_cte()},
-enb AS (SELECT en.*, eb.bucket FROM en JOIN eb USING (vec_id)),
-qs AS (SELECT * FROM enb WHERE vec_id % {query_mod} = 0),
+WITH {_norm_cte()}, {_buckets_cte(n_bands, band_planes)},
+{_probes_cte(band_planes)},
+qk AS (
+  SELECT eb.vec_id AS q_id, eb.band, xor(eb.key, flips.f) AS key
+  FROM eb CROSS JOIN flips WHERE eb.vec_id % {query_mod} = 0),
+cand AS (
+  SELECT DISTINCT qk.q_id, eb.vec_id
+  FROM qk JOIN eb ON eb.band = qk.band AND eb.key = qk.key
+  WHERE eb.vec_id <> qk.q_id),
 scored AS (
-  SELECT q.vec_id AS q_id, e.vec_id,
+  SELECT cand.q_id, cand.vec_id,
          round({d} / (q.norm * e.norm), 6) AS cos
-  FROM qs q JOIN enb e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+  FROM cand JOIN en q ON q.vec_id = cand.q_id
+  JOIN en e ON e.vec_id = cand.vec_id),
 rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
        FROM scored)
 SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= {k}
 """
 
 
-def embedding_near_dup_sql(threshold: float = 0.95) -> str:
+def embedding_near_dup_sql(threshold: float = 0.95,
+                           n_bands: int = N_BANDS,
+                           band_planes: int = BAND_PLANES) -> str:
     d = _DOT.format(x="a.embedding", y="b.embedding")
     return f"""
-WITH {_norm_cte()}, {_buckets_cte()},
-enb AS (SELECT en.*, eb.bucket FROM en JOIN eb USING (vec_id))
-SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+WITH {_norm_cte()}, {_buckets_cte(n_bands, band_planes)},
+{_probes_cte(band_planes)},
+lk AS (SELECT eb.vec_id AS a, eb.band, xor(eb.key, flips.f) AS key
+       FROM eb CROSS JOIN flips),
+cpairs AS (
+  SELECT DISTINCT lk.a, eb.vec_id AS b
+  FROM lk JOIN eb ON eb.band = lk.band AND eb.key = lk.key
+  WHERE lk.a < eb.vec_id)
+SELECT cpairs.a, cpairs.b,
        round({d} / (a.norm * b.norm), 6) AS cos
-FROM enb a JOIN enb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM cpairs JOIN en a ON a.vec_id = cpairs.a
+JOIN en b ON b.vec_id = cpairs.b
 WHERE round({d} / (a.norm * b.norm), 6) >= {threshold}
 """

@@ -78,13 +78,27 @@ def test_ann_topk_shape(spark, emb):
 def test_ann_lsh_parity_and_subset(spark, duck, emb):
     got = simsearch.ann_lsh(emb)
     assert_df_equal(got, duck.execute(simsearch.ann_lsh_sql()))
-    # LSH returns a candidate-restricted ranking: every hit shares the
-    # query's bucket by construction
+    # every hit shares some band's key with the query at Hamming ≤ 1
+    # (the multi-probe candidate predicate), by construction
     bk = simsearch.lsh_buckets(emb)
-    j = (got.join(bk.withColumnRenamed("vec_id", "q_id")
-                  .withColumnRenamed("bucket", "qb"), "q_id")
-         .join(bk, "vec_id"))
-    assert j.where("qb != bucket").count() == 0
+    qb = bk.withColumnRenamed("vec_id", "q_id").withColumnRenamed("key", "qk")
+    j = (got.select("q_id", "vec_id").join(qb, "q_id")
+         .join(bk, ["vec_id", "band"])
+         .withColumn("ham", F.bit_count(F.col("qk").bitwiseXOR(F.col("key"))))
+         .groupBy("q_id", "vec_id").agg(F.min("ham").alias("best")))
+    assert j.where("best > 1").count() == 0
+
+
+def test_ann_lsh_recall_floor(spark, emb):
+    """Banded multi-probe LSH must keep a stated recall floor vs brute
+    force on the fixture. The fixture's top-5 'neighbors' are random
+    vectors (cos ≈ 0.3-0.5 — the hardest regime; true near-duplicates
+    recall ≈ 1.0 analytically); measured ≈ 0.53 here, floor pinned at
+    0.45 so regressions in the band/probe layout fail loudly."""
+    brute = simsearch.ann_bruteforce(emb).select("q_id", "vec_id")
+    lsh = simsearch.ann_lsh(emb).select("q_id", "vec_id")
+    inter = brute.join(lsh, ["q_id", "vec_id"]).count()
+    assert inter / brute.count() >= 0.45
 
 
 def test_textstats_parity(spark, duck, docs):
