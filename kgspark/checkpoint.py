@@ -69,10 +69,15 @@ class Checkpointer:
             return None
 
     def fingerprint(self, stage: str, params: dict, deps: list[str]) -> str:
+        import kgspark
+
         payload = {
             "stage": stage,
             "params": params,
             "deps": {d: self._fingerprints.get(d, "?") for d in deps},
+            # code version participates so upgrading the library invalidates
+            # checkpoints written by older stage logic
+            "code_version": kgspark.__version__,
         }
         return sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
@@ -100,11 +105,25 @@ class Checkpointer:
             return self.spark.read.parquet(data_dir)
 
         t0 = time.time()
+        # Crash-safe ordering: a manifest must never describe data it did
+        # not see written. (1) invalidate the old manifest BEFORE touching
+        # data — any crash from here on leaves no manifest, so the next run
+        # recomputes; (2) write to a temp dir and atomically swap; (3) only
+        # then write the new manifest.
+        try:
+            os.remove(self._manifest_path(name))
+        except FileNotFoundError:
+            pass
         df = build()
+        tmp_dir = data_dir + ".tmp"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        writer.parquet(tmp_dir)
+        import shutil
+
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.rename(tmp_dir, data_dir)
 
         out = self.spark.read.parquet(data_dir)
         # per-partition lineage counters (file-level row counts)

@@ -34,6 +34,48 @@ def test_stage_resume_and_invalidation(spark, tmp_path):
     assert calls["n"] == 2, "param change must invalidate"
 
 
+def test_crash_between_data_and_manifest_recomputes(spark, tmp_path):
+    """A crash after the new data is written but before the manifest is
+    must NOT let a later run resume the old fingerprint against the new
+    data: the old manifest is invalidated before data is touched."""
+    wd = str(tmp_path / "ck")
+    calls = {"n": 0}
+
+    def build(v):
+        def _b():
+            calls["n"] += 1
+            return spark.range(v).select(F.col("id").alias("x"))
+        return _b
+
+    ck = Checkpointer(spark, wd)
+    ck.stage("s1", build(10), params={"v": 1})
+
+    # simulate: re-run with v=2 crashes right after the parquet swap —
+    # i.e. data is v=2's but no manifest was written
+    ck2 = Checkpointer(spark, wd)
+    fp2 = ck2.fingerprint("s1", {"v": 2}, [])
+    assert fp2 != ck.fingerprint("s1", {"v": 1}, [])
+    orig_dump = json.dump
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before manifest write")
+
+    json.dump = boom
+    try:
+        ck2.stage("s1", build(20), params={"v": 2})
+    except RuntimeError:
+        pass
+    finally:
+        json.dump = orig_dump
+    assert calls["n"] == 2
+
+    # a v=1 run must now RECOMPUTE (old manifest gone), not resume 20 rows
+    ck3 = Checkpointer(spark, wd)
+    out = ck3.stage("s1", build(10), params={"v": 1})
+    assert calls["n"] == 3, "stale-manifest resume after crash"
+    assert out.count() == 10
+
+
 def test_dependency_invalidation_cascades(spark, tmp_path):
     wd = str(tmp_path / "ck")
     calls = {"a": 0, "b": 0}
