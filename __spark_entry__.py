@@ -156,6 +156,12 @@ def _q_patybred_features(spark: SparkSession, sf: str) -> DataFrame:
     return patybred.features_long(g.triples, idx, g.types)
 
 
+def _q_patybred_features_iorels(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    idx = patybred.enumerate_paths(g.triples, g.relations.count())
+    return patybred.features_long(g.triples, idx, g.types, iorels=True)
+
+
 def _q_patybred_ranked(spark: SparkSession, sf: str) -> DataFrame:
     return patybred.patybred_ranked(spark, sf, P_ERROR)
 
@@ -298,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_negatives": _q_patybred_negatives,
         "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
         "kg_patybred_features": _q_patybred_features,
+        "kg_patybred_features_iorels": _q_patybred_features_iorels,
         "kg_patybred_ranked": _q_patybred_ranked,
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_flagship_ranked": _q_flagship,
@@ -364,6 +371,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_patybred_negatives": patybred.negatives_sql(raw),
         "kg_patybred_negatives_pra": patybred.negatives_pra_sql(raw),
         "kg_patybred_features": patybred.features_long_sql(raw),
+        "kg_patybred_features_iorels": patybred.features_long_sql(
+            raw, iorels=True),
         # kg_patybred_ranked / kg_patybred_metrics intentionally omitted:
         # classifier fit (applyInPandas numpy LR) is not SQL-expressible;
         # the driver records the weaker rows-only check for them.

@@ -276,6 +276,16 @@ def enumerate_paths(
                 paths[new] = prod
                 supports[new] = nnz
                 next_paths.append(new)
+                # the reference registers BOTH the path and its
+                # inverse-reversed twin as features, the twin's pairs being
+                # the transpose of the computed product (reference
+                # patybred.py:273-276). The no-backtrack prune guarantees
+                # twin != new at this depth (p1 == inv(p2) was skipped).
+                twin = tuple(inv(i, R) for i in reversed(new))
+                paths[twin] = prod.select(
+                    F.col("o").alias("s"), F.col("s").alias("o"))
+                supports[twin] = nnz
+                next_paths.append(twin)
         l_paths = next_paths
         depth += 1
 
@@ -301,11 +311,38 @@ def path_membership(idx: PathIndex) -> DataFrame:
     return out
 
 
-def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame) -> DataFrame:
+def path_endpoints(idx: PathIndex) -> DataFrame:
+    """Union table (pid, e, side) of distinct path endpoints: side 'r' =
+    subjects with an outgoing instance (matrix rows), 'c' = reachable
+    objects (matrix cols) — the reference's ``path_rowscols``
+    (patybred.py:277-285)."""
+    parts = []
+    for path in idx.ordered:
+        pid = "_".join(map(str, path))
+        df = idx.paths[path]
+        parts.append(df.select(F.lit(pid).alias("pid"),
+                               F.col("s").alias("e"),
+                               F.lit("r").alias("side")).distinct())
+        parts.append(df.select(F.lit(pid).alias("pid"),
+                               F.col("o").alias("e"),
+                               F.lit("c").alias("side")).distinct())
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out
+
+
+def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame,
+                  iorels: bool = False) -> DataFrame:
     """(s, p, o) facts → sparse boolean features (s, p, o, feat).
 
     Path features exclude the fact's own relation path (r,)
     (patybred.py:570-571); type features are st_<t> / ot_<t> (J4).
+
+    ``iorels=True`` (J5, reference ``so_iorels_feat``,
+    patybred.py:461-481, default off there too) adds the four
+    in/out-degree-by-path memberships per path: os_/is_ for the subject
+    being a row/col of the path, oo_/io_ for the object.
     """
     memb = path_membership(idx)
     pf = (
@@ -319,7 +356,19 @@ def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame) -> DataFra
     ot = facts.join(types.withColumnRenamed("e", "o"), "o").select(
         "s", "p", "o", F.concat(F.lit("ot_"), F.col("t")).alias("feat")
     )
-    return pf.unionByName(st).unionByName(ot)
+    out = pf.unionByName(st).unionByName(ot)
+    if iorels:
+        ep = path_endpoints(idx)
+        sf = facts.join(ep.withColumnRenamed("e", "s"), "s").select(
+            "s", "p", "o",
+            F.concat(F.when(F.col("side") == "r", F.lit("os_"))
+                     .otherwise(F.lit("is_")), F.col("pid")).alias("feat"))
+        of = facts.join(ep.withColumnRenamed("e", "o"), "o").select(
+            "s", "p", "o",
+            F.concat(F.when(F.col("side") == "r", F.lit("oo_"))
+                     .otherwise(F.lit("io_")), F.col("pid")).alias("feat"))
+        out = out.unionByName(sf).unionByName(of)
+    return out
 
 
 # ----------------------------------------------------------- training data
@@ -450,14 +499,7 @@ def negatives_pra_sql(triples_cte: str, R: int = 4) -> str:
 
     pos_list = ", ".join(map(str, pra_positions()))
     return f"""
-WITH {kg_ctes(triples_cte)}, {paths_ctes(R)},
-memb AS (
-  SELECT 'path_' || CAST(p AS VARCHAR) AS feat, s, o, TRUE AS single, p AS p0
-  FROM aug JOIN singles USING (p)
-  UNION ALL
-  SELECT 'path_' || CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR),
-         s, o, FALSE, 0
-  FROM pp2 JOIN paths2 USING (p1, p2)),
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R)}, {memb_ctes(R)},
 subj AS (SELECT DISTINCT p, s FROM enc),
 sc AS (
   SELECT subj.p, subj.s, memb.o, count(*) AS score
@@ -660,11 +702,35 @@ paths2 AS (
 """
 
 
+def memb_ctes(R: int = R_CONST) -> str:
+    """Shared path-membership CTE (``memb``), appended after paths_ctes.
+
+    Three arms: depth-1 singles, kept depth-2 paths, and their
+    inverse-reversed twins over the transposed pairs (reference
+    patybred.py:273-276)."""
+    ip1, ip2 = _inv_sql("p1", R), _inv_sql("p2", R)
+    return f"""
+memb AS (
+  SELECT 'path_' || CAST(p AS VARCHAR) AS feat, s, o, TRUE AS single, p AS p0
+  FROM aug JOIN singles USING (p)
+  UNION ALL
+  SELECT 'path_' || CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR),
+         s, o, FALSE, 0
+  FROM pp2 JOIN paths2 USING (p1, p2)
+  UNION ALL
+  SELECT 'path_' || CAST({ip2} AS VARCHAR) || '_' || CAST({ip1} AS VARCHAR),
+         o AS s, s AS o, FALSE, 0
+  FROM pp2 JOIN paths2 USING (p1, p2))
+"""
+
+
 def paths_depth2_sql(triples_cte: str, R: int = R_CONST) -> str:
     from kgspark.typesys import kg_ctes
 
+    ip1, ip2 = _inv_sql("p1", R), _inv_sql("p2", R)
     return (f"WITH {kg_ctes(triples_cte)}, {paths_ctes(R)} "
-            "SELECT p1, p2, support FROM paths2")
+            "SELECT p1, p2, support FROM paths2 "
+            f"UNION ALL SELECT {ip2} AS p1, {ip1} AS p2, support FROM paths2")
 
 
 def relation_support_sql(triples_cte: str) -> str:
@@ -731,20 +797,50 @@ def negatives_sql(triples_cte: str, R: int = R_CONST) -> str:
             "SELECT s, p, o FROM negs")
 
 
-def features_long_sql(triples_cte: str, R: int = R_CONST) -> str:
+def endpoints_ctes(R: int = R_CONST) -> str:
+    """Endpoints CTE ``iop`` (pid, e, side) mirroring path_endpoints."""
+    ip1, ip2 = _inv_sql("p1", R), _inv_sql("p2", R)
+    d2pid = "CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR)"
+    twpid = f"CAST({ip2} AS VARCHAR) || '_' || CAST({ip1} AS VARCHAR)"
+    return f"""
+iop AS (
+  SELECT DISTINCT CAST(p AS VARCHAR) AS pid, s AS e, 'r' AS side
+  FROM aug JOIN singles USING (p)
+  UNION ALL
+  SELECT DISTINCT CAST(p AS VARCHAR), o, 'c' FROM aug JOIN singles USING (p)
+  UNION ALL
+  SELECT DISTINCT {d2pid}, s, 'r' FROM pp2 JOIN paths2 USING (p1, p2)
+  UNION ALL
+  SELECT DISTINCT {d2pid}, o, 'c' FROM pp2 JOIN paths2 USING (p1, p2)
+  UNION ALL
+  SELECT DISTINCT {twpid}, o, 'r' FROM pp2 JOIN paths2 USING (p1, p2)
+  UNION ALL
+  SELECT DISTINCT {twpid}, s, 'c' FROM pp2 JOIN paths2 USING (p1, p2))
+"""
+
+
+def features_long_sql(triples_cte: str, R: int = R_CONST,
+                      iorels: bool = False) -> str:
     """Oracle for features_long over ALL encoded facts."""
     from kgspark.typesys import kg_ctes
 
+    if iorels:
+        io_ctes = f", {endpoints_ctes(R)},\n" + """
+iosf AS (
+  SELECT enc.s, enc.p, enc.o,
+         (CASE WHEN iop.side = 'r' THEN 'os_' ELSE 'is_' END) || iop.pid AS feat
+  FROM enc JOIN iop ON iop.e = enc.s),
+ioof AS (
+  SELECT enc.s, enc.p, enc.o,
+         (CASE WHEN iop.side = 'r' THEN 'oo_' ELSE 'io_' END) || iop.pid AS feat
+  FROM enc JOIN iop ON iop.e = enc.o),
+"""
+        io_arms = ("UNION ALL SELECT * FROM iosf "
+                   "UNION ALL SELECT * FROM ioof")
+    else:
+        io_ctes, io_arms = ",", ""
     return f"""
-WITH {kg_ctes(triples_cte)}, {paths_ctes(R)},
-memb AS (
-  SELECT 'path_' || CAST(p AS VARCHAR) AS feat, s, o,
-         TRUE AS single, p AS p0
-  FROM aug JOIN singles USING (p)
-  UNION ALL
-  SELECT 'path_' || CAST(p1 AS VARCHAR) || '_' || CAST(p2 AS VARCHAR),
-         s, o, FALSE, 0
-  FROM pp2 JOIN paths2 USING (p1, p2)),
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R)}, {memb_ctes(R)} {io_ctes}
 pf AS (
   SELECT enc.s, enc.p, enc.o, memb.feat
   FROM enc JOIN memb ON memb.s = enc.s AND memb.o = enc.o
@@ -758,4 +854,5 @@ otf AS (
 SELECT s, p, o, feat FROM pf
 UNION ALL SELECT * FROM stf
 UNION ALL SELECT * FROM otf
+{io_arms}
 """

@@ -34,8 +34,13 @@ def test_path_composition_toy(spark):
     assert (1, 2) in idx.paths
     got = {(r["s"], r["o"]) for r in idx.paths[(1, 2)].collect()}
     assert got == {(1, 10), (2, 11)}
-    # inverse path (4,3) ≡ reversed-inverted of (1,2) is deduped to canonical
-    assert (4, 3) not in idx.paths
+    # the inverse-reversed twin (4,3) is registered as a separate feature
+    # path whose pairs are the TRANSPOSE (reference patybred.py:273-276) —
+    # only one of the pair is ever computed via the boolean product
+    assert (4, 3) in idx.paths
+    twin = {(r["s"], r["o"]) for r in idx.paths[(4, 3)].collect()}
+    assert twin == {(10, 1), (11, 2)}
+    assert idx.supports[(4, 3)] == idx.supports[(1, 2)]
 
 
 def test_bfs_pruning_backtrack(spark):
@@ -152,8 +157,13 @@ def test_beam_selection_matches_python_oracle(spark, graph, idx):
             graph.triples, 4, max_paths_per_level=3, path_selection_mode=mode)
         got = sorted(p for p in beam.paths if len(p) == 2)
         want = sorted(sorted(cands, key=lambda c: (-rel(c, mode), c))[:3])
-        assert set(got) <= set(want), (mode, got, want)
-        assert len(got) <= 3
+        # enumerated (canonical) keeps must come from the beam's top-3 …
+        canon_got = [p for p in got if p in set(cands)]
+        assert set(canon_got) <= set(want), (mode, canon_got, want)
+        # … and each kept path also registers its inverse-reversed twin
+        for p in canon_got:
+            assert tuple(inv(i) for i in reversed(p)) in beam.paths
+        assert len(got) <= 6
 
 
 def test_neighborhood_negatives(spark, graph):
