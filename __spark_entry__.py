@@ -201,6 +201,20 @@ def _q_zscore(spark, sf):
     return evalops.zscore_outlier(sdv)
 
 
+def _q_mad_outlier(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    sdv = scoring.sdvalidate_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+    return evalops.mad_outlier(sdv)
+
+
+def _q_iqr_outlier(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    sdv = scoring.sdvalidate_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+    return evalops.iqr_outlier(sdv)
+
+
 def _q_linkpred(spark, sf):
     g = pipeline.build_graph(spark, sf)
     return evalops.link_prediction_eval(g.triples, g.types, g.entities)
@@ -313,6 +327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domran_materialize": _q_domran_materialize,
         "kg_omnipresent_types": _q_omnipresent,
         "kg_zscore_outlier": _q_zscore,
+        "kg_mad_outlier": _q_mad_outlier,
+        "kg_iqr_outlier": _q_iqr_outlier,
         "kg_link_prediction_eval": _q_linkpred,
         "kg_word_freq": _q_word_freq,
         "kg_symspell_pairs": _q_symspell,
@@ -382,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_domran_materialize": hierarchy.domran_materialize_sql(raw),
         "kg_omnipresent_types": hierarchy.omnipresent_types_sql(raw),
         "kg_zscore_outlier": evalops.zscore_outlier_sql(raw),
+        "kg_mad_outlier": evalops.mad_outlier_sql(raw),
+        "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
         "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
         "kg_word_freq": evalops.word_freq_sql(raw),
         "kg_symspell_pairs": link.symspell_pairs_sql(raw),

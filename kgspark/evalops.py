@@ -38,6 +38,49 @@ def zscore_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
     return j.select(*scored.columns, F.round(adj, 6).alias("adj_score"))
 
 
+def mad_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """M5 variant: per-relation median/MAD envelope.
+
+    Deterministic stand-in for the reference's per-relation
+    EllipticEnvelope wrapper (/root/reference/errordetector.py:47-49,
+    72-79) — sklearn is absent from this environment, so the robust
+    location/scale envelope replaces the fitted covariance; the wrapper's
+    gating shape is preserved exactly (errordetector.py:101-103): scores
+    at/above the relation mean map to 1.0, below-mean scores map to their
+    robust z ``(x - median) / (1.4826 · MAD)``.
+    """
+    med = scored.groupBy("p").agg(
+        F.percentile(score_col, F.lit(0.5)).alias("_med"),
+        F.avg(score_col).alias("_mu"))
+    dev = scored.join(F.broadcast(med), "p")
+    mad = dev.groupBy("p").agg(F.percentile(
+        F.abs(F.col(score_col) - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    j = dev.join(F.broadcast(mad), "p")
+    adj = F.when(
+        (F.col(score_col) < F.col("_mu")) & (F.col("_mad") > 0),
+        (F.col(score_col) - F.col("_med")) / (1.4826 * F.col("_mad")),
+    ).otherwise(F.lit(1.0))
+    return j.select(*scored.columns, F.round(adj, 6).alias("adj_score"))
+
+
+def iqr_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """M5 variant: per-relation interquartile envelope (deterministic
+    stand-in for IsolationForest/OneClassSVM in the reference's wrapper
+    factory, /root/reference/errordetector.py:44-53; same below-mean
+    gating). adj = (x - q1) / (q3 - q1) for below-mean scores."""
+    st = scored.groupBy("p").agg(
+        F.percentile(score_col, F.lit(0.25)).alias("_q1"),
+        F.percentile(score_col, F.lit(0.75)).alias("_q3"),
+        F.avg(score_col).alias("_mu"))
+    j = scored.join(F.broadcast(st), "p")
+    iqr = F.col("_q3") - F.col("_q1")
+    adj = F.when(
+        (F.col(score_col) < F.col("_mu")) & (iqr > 0),
+        (F.col(score_col) - F.col("_q1")) / iqr,
+    ).otherwise(F.lit(1.0))
+    return j.select(*scored.columns, F.round(adj, 6).alias("adj_score"))
+
+
 def candidate_scores_po(triples: DataFrame, types: DataFrame,
                         entities: DataFrame) -> DataFrame:
     """SDValidate score of every (p, candidate-object) pair (M4 analog)."""
@@ -139,6 +182,39 @@ SELECT sdv.s, sdv.p, sdv.o, sdv.score,
   round(CASE WHEN sdv.score < stats.mu AND stats.sd > 0
              THEN (sdv.score - stats.mu) / stats.sd ELSE 1.0 END, 6) AS adj_score
 FROM sdv JOIN stats ON stats.p = sdv.p
+"""
+
+
+def mad_outlier_sql(triples_cte: str) -> str:
+    from kgspark.scoring import sdvalidate_ctes
+
+    return f"""
+WITH {kg_ctes(triples_cte)}, {sdvalidate_ctes('enc')},
+medm AS (SELECT p, quantile_cont(score, 0.5) AS med, avg(score) AS mu
+         FROM sdv GROUP BY p),
+madm AS (SELECT sdv.p, quantile_cont(abs(sdv.score - medm.med), 0.5) AS mad
+         FROM sdv JOIN medm USING (p) GROUP BY sdv.p)
+SELECT sdv.s, sdv.p, sdv.o, sdv.score,
+  round(CASE WHEN sdv.score < medm.mu AND madm.mad > 0
+             THEN (sdv.score - medm.med) / (1.4826 * madm.mad)
+             ELSE 1.0 END, 6) AS adj_score
+FROM sdv JOIN medm USING (p) JOIN madm ON madm.p = sdv.p
+"""
+
+
+def iqr_outlier_sql(triples_cte: str) -> str:
+    from kgspark.scoring import sdvalidate_ctes
+
+    return f"""
+WITH {kg_ctes(triples_cte)}, {sdvalidate_ctes('enc')},
+iqst AS (SELECT p, quantile_cont(score, 0.25) AS q1,
+                quantile_cont(score, 0.75) AS q3, avg(score) AS mu
+         FROM sdv GROUP BY p)
+SELECT sdv.s, sdv.p, sdv.o, sdv.score,
+  round(CASE WHEN sdv.score < iqst.mu AND iqst.q3 - iqst.q1 > 0
+             THEN (sdv.score - iqst.q1) / (iqst.q3 - iqst.q1)
+             ELSE 1.0 END, 6) AS adj_score
+FROM sdv JOIN iqst USING (p)
 """
 
 
