@@ -170,6 +170,10 @@ def _q_patybred_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return patybred.patybred_metrics(spark, sf, P_ERROR)
 
 
+def _q_patybred_dt_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    return patybred.patybred_dt_ranked(spark, sf, P_ERROR)
+
+
 def _q_flagship(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_ranked(spark, sf, P_ERROR)
 
@@ -321,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_features_iorels": _q_patybred_features_iorels,
         "kg_patybred_ranked": _q_patybred_ranked,
         "kg_patybred_metrics": _q_patybred_metrics,
+        "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
         "kg_flagship_ranked": _q_flagship,
         "kg_eval_metrics": _q_metrics,
         "kg_types_closure": _q_types_closure,
@@ -389,9 +394,14 @@ def oracle_sql() -> dict[str, str]:
         "kg_patybred_features": patybred.features_long_sql(raw),
         "kg_patybred_features_iorels": patybred.features_long_sql(
             raw, iorels=True),
-        # kg_patybred_ranked / kg_patybred_metrics intentionally omitted:
-        # classifier fit (applyInPandas numpy LR) is not SQL-expressible;
-        # the driver records the weaker rows-only check for them.
+        # end-to-end PaTyBRED oracles: training rows + features are pure
+        # SQL over the noisy graph; the numpy fit runs Spark-free inside
+        # the oracle builder and its weights/leaves are embedded as VALUES
+        # (patybred.ranked_oracle_sql docstring) — exact value checks.
+        "kg_patybred_ranked": patybred.ranked_oracle_sql(raw, P_ERROR),
+        "kg_patybred_metrics": patybred.metrics_oracle_sql(raw, P_ERROR),
+        "kg_patybred_dt_ranked": patybred.ranked_oracle_sql(
+            raw, P_ERROR, clf="dt"),
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
         "kg_types_closure": hierarchy.types_closure_sql(raw),

@@ -37,17 +37,87 @@ def _term(path_ids: list[int], rel_names: dict[int, str], R: int) -> str:
 
 
 def _feature_condition(feat: str, rel_names: dict[int, str],
-                       type_names: dict[int, str], R: int) -> str | None:
+                       type_names: dict[int, str], R: int,
+                       present: bool = False) -> str | None:
+    """EXISTS-form SPARQL condition for one boolean feature.
+
+    ``present=False`` (default) renders the *absence* test (``! EXISTS``)
+    used by the LR compiler; ``present=True`` renders the positive form —
+    the DT compiler needs both, exactly like the reference's
+    ``negate``/``get_condition_str`` pair (shacl-sparql.py:58-120)."""
+    neg = "" if present else "! "
     if feat.startswith("path_"):
         ids = [int(x) for x in feat.split("_")[1:]]
-        return "! EXISTS { $this %s ?o }" % _term(ids, rel_names, R)
+        return "%sEXISTS { $this %s ?o }" % (neg, _term(ids, rel_names, R))
     if feat.startswith("st_"):
         t = type_names[int(feat[3:])]
-        return "! EXISTS { $this a <%s%s> }" % (PREFIX, t)
+        return "%sEXISTS { $this a <%s%s> }" % (neg, PREFIX, t)
     if feat.startswith("ot_"):
         t = type_names[int(feat[3:])]
-        return "! EXISTS { ?o a <%s%s> }" % (PREFIX, t)
+        return "%sEXISTS { ?o a <%s%s> }" % (neg, PREFIX, t)
     return None
+
+
+def _shape_chunk(rname: str, filters: list[str]) -> str:
+    filt = "  ||  ".join(f"({f})" for f in filters) if len(filters) > 1 \
+        else filters[0]
+    return (
+        f":{rname}Shape a sh:NodeShape ;\n"
+        f"sh:targetSubjectsOf <{PREFIX}{rname}> ;\n"
+        "sh:sparql [\n"
+        "  a sh:SPARQLConstraint;\n"
+        "  sh:select \"\"\" \n"
+        f"SELECT $this ?o WHERE {{ $this <{PREFIX}{rname}> ?o . \n"
+        f"FILTER(({filt})) }} \n"
+        "  \"\"\" ;\n"
+        " ] . \n"
+    )
+
+
+def compile_shacl_dt(dt_models: DataFrame, relations: DataFrame,
+                     type_names: DataFrame, min_sup: int = 5,
+                     max_prob: float = 0.5) -> str:
+    """Decision-tree leaves → SHACL-SPARQL constraint document.
+
+    The published mechanism (/root/reference/shacl-sparql.py:10-160): the
+    per-relation tree is pruned to leaves confidently classifying errors
+    (condition on the leaf's class share + min support), and each such
+    leaf becomes a FILTER clause — the conjunction of its root-to-leaf
+    conditions: positive EXISTS for required features, negated EXISTS for
+    forbidden ones. A relation's constraint is the disjunction of its
+    error leaves. ``dt_models`` is the (p, leaf, prob, n, feats_true,
+    feats_false) table from kgspark.patybred.fit_models_dt.
+    """
+    rel_names = {int(r["id"]): r["name"] for r in relations.collect()}
+    R = len(rel_names)
+    tnames = {int(r["t"]): r["name"] for r in type_names.collect()}
+
+    per_rel: dict[int, list[str]] = {}
+    for row in dt_models.collect():
+        # suspect leaf: mostly-negative with enough support (the
+        # reference's `condition(value) and sum(value) >= minsup`)
+        if row["prob"] > max_prob or row["n"] < min_sup:
+            continue
+        conds = []
+        for f in sorted(row["feats_true"]):
+            c = _feature_condition(f, rel_names, tnames, R, present=True)
+            if c:
+                conds.append(c)
+        for f in sorted(row["feats_false"]):
+            c = _feature_condition(f, rel_names, tnames, R, present=False)
+            if c:
+                conds.append(c)
+        if conds:
+            per_rel.setdefault(int(row["p"]), []).append(
+                "  &&  ".join(conds))
+
+    chunks = [
+        f"@prefix : <{PREFIX}> . ",
+        "@prefix sh: <http://www.w3.org/ns/shacl#> . ",
+    ]
+    for p in sorted(per_rel):
+        chunks.append(_shape_chunk(rel_names[p], per_rel[p]))
+    return "\n".join(chunks)
 
 
 def compile_shacl(models: DataFrame, relations: DataFrame,

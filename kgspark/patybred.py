@@ -613,6 +613,169 @@ def score_facts(facts: DataFrame, idx: PathIndex, types: DataFrame,
     )
 
 
+# ------------------------------------------------------- decision tree (M1 'dt')
+
+DT_MAX_DEPTH = 4
+DT_MIN_LEAF = 1
+
+
+def _gini_tree(X: np.ndarray, y: np.ndarray, feat_names: list[str],
+               max_depth: int = DT_MAX_DEPTH, min_leaf: int = DT_MIN_LEAF):
+    """Deterministic CART-gini tree over BOOLEAN features → leaf list.
+
+    The reference's clf factory offers 'dt' via sklearn DecisionTree
+    (/root/reference/patybred.py:366-380); sklearn is absent here, so this
+    is an equivalent numpy tree with fully deterministic tie-breaks
+    (lowest feature index wins equal gini). Boolean features make each
+    split "feature absent → left, present → right", so a leaf IS a
+    conjunction of required/forbidden features — exactly the shape the
+    SHACL compiler consumes (/root/reference/shacl-sparql.py:64-160).
+
+    Returns [(feats_true, feats_false, prob, n)] — prob = positive share.
+    """
+    leaves: list[tuple[list[str], list[str], float, int]] = []
+
+    def gini(yv: np.ndarray) -> float:
+        if len(yv) == 0:
+            return 0.0
+        q = float(yv.mean())
+        return 2.0 * q * (1.0 - q)
+
+    def rec(rows: np.ndarray, req: list[str], forb: list[str], depth: int):
+        yv = y[rows]
+        parent = gini(yv)
+        if depth >= max_depth or parent == 0.0 or len(rows) < 2 * min_leaf:
+            leaves.append((sorted(req), sorted(forb), float(yv.mean()),
+                           int(len(rows))))
+            return
+        n = float(len(rows))
+        best_j, best_g = -1, parent - 1e-12
+        for j in range(X.shape[1]):
+            mask = X[rows, j] > 0
+            n1 = int(mask.sum())
+            n0 = int(len(rows)) - n1
+            if n1 < min_leaf or n0 < min_leaf:
+                continue
+            g = (n1 * gini(yv[mask]) + n0 * gini(yv[~mask])) / n
+            if g < best_g:
+                best_j, best_g = j, g
+        if best_j < 0:
+            leaves.append((sorted(req), sorted(forb), float(yv.mean()),
+                           int(len(rows))))
+            return
+        mask = X[rows, best_j] > 0
+        f = feat_names[best_j]
+        rec(rows[~mask], req, forb + [f], depth + 1)
+        rec(rows[mask], req + [f], forb, depth + 1)
+
+    rec(np.arange(len(y)), [], [], 0)
+    return leaves
+
+
+def _fit_group_dt(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-relation decision-tree fit (same batch shape as _fit_group).
+
+    Output long leaves: (p, leaf, prob, n, feats_true, feats_false)."""
+    p = int(pdf["p"].iloc[0])
+    pdf = pdf.sort_values(["label", "s", "o"]).reset_index(drop=True)
+    rows = [list(r) if r is not None else [] for r in pdf["feats"]]
+    feat_set = sorted({f for r in rows for f in r})
+    empty = pd.DataFrame({
+        "p": pd.Series([], dtype="int32"),
+        "leaf": pd.Series([], dtype="int32"),
+        "prob": pd.Series([], dtype="float64"),
+        "n": pd.Series([], dtype="int64"),
+        "feats_true": pd.Series([], dtype="object"),
+        "feats_false": pd.Series([], dtype="object"),
+    })
+    if not feat_set or pdf["label"].nunique() < 2:
+        return empty
+    fidx = {f: i for i, f in enumerate(feat_set)}
+    X = np.zeros((len(pdf), len(feat_set)))
+    for i, r in enumerate(rows):
+        for f in r:
+            X[i, fidx[f]] = 1.0
+    y = pdf["label"].to_numpy(dtype=np.float64)
+    leaves = _gini_tree(X, y, feat_set)
+    return pd.DataFrame({
+        "p": p,
+        "leaf": range(len(leaves)),
+        "prob": [lv[2] for lv in leaves],
+        "n": [lv[3] for lv in leaves],
+        "feats_true": [lv[0] for lv in leaves],
+        "feats_false": [lv[1] for lv in leaves],
+    })
+
+
+DT_SCHEMA = ("p int, leaf int, prob double, n long, "
+             "feats_true array<string>, feats_false array<string>")
+
+
+def fit_models_dt(triples: DataFrame, idx: PathIndex, types: DataFrame,
+                  n_entities: int) -> DataFrame:
+    """Per-relation DT fit (M1 clf='dt') → leaf table (tiny: ≤ 2^depth
+    rows per relation)."""
+    pos = sample_positives(triples)
+    neg = generate_negatives(pos, triples, n_entities)
+    train = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
+    fl = features_long(train.select("s", "p", "o"), idx, types)
+    rows = train.join(
+        fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),
+        ["s", "p", "o"], "left",
+    )
+    return materialize(rows.groupBy("p").applyInPandas(_fit_group_dt, DT_SCHEMA))
+
+
+def score_facts_dt(facts: DataFrame, idx: PathIndex, types: DataFrame,
+                   dt_models: DataFrame) -> DataFrame:
+    """(s,p,o) → (s,p,o,score) by routing each fact to its (unique) leaf.
+
+    The leaf table partitions the feature space per relation, so the
+    broadcast join + forall/exists array predicates match exactly one leaf
+    per fact — all JVM-side; the only shuffle is the feature grouping.
+    Relations without a model score 0.0 (patybred.py:536-537)."""
+    fl = features_long(facts, idx, types)
+    active = facts.join(
+        fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("_feats")),
+        ["s", "p", "o"], "left",
+    ).withColumn("_feats", F.coalesce(
+        "_feats", F.array().cast("array<string>")))
+    match = (
+        F.forall("feats_true", lambda f: F.array_contains("_feats", f))
+        & (~F.exists("feats_false", lambda f: F.array_contains("_feats", f)))
+    )
+    hit = (
+        active.join(F.broadcast(dt_models), "p")
+        .where(match)
+        .select("s", "p", "o", F.col("prob").alias("_prob"))
+    )
+    return facts.join(hit, ["s", "p", "o"], "left").select(
+        "s", "p", "o",
+        F.coalesce("_prob", F.lit(0.0)).alias("score"),
+    )
+
+
+def patybred_dt_ranked(spark: SparkSession, sf_dir: str,
+                       p_error: float = 0.05) -> DataFrame:
+    """patybred_ranked with the decision-tree classifier (clf='dt')."""
+    from kgspark import pipeline, rank
+
+    g = pipeline.build_graph(spark, sf_dir)
+    noisy = materialize(pipeline.noisy_facts(g, p_error))
+    facts = noisy.select("s", "p", "o")
+    R = g.relations.count()
+    idx = enumerate_paths(facts, R)
+    models = fit_models_dt(facts, idx, g.types, g.n_entities)
+    scores = score_facts_dt(facts, idx, g.types, models)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts(scores)
+    return ranked.join(noisy, ["s", "p", "o"]).select(
+        "s", "p", "o", "score", "rank", "is_error"
+    )
+
+
 # ------------------------------------------------------------ end-to-end
 
 
@@ -661,18 +824,22 @@ def _inv_sql(col: str, R: int) -> str:
 
 
 def paths_ctes(R: int = R_CONST, min_sup: int = MIN_SUP,
-               max_nnz: int = MAX_NNZ) -> str:
-    """CTE chain after kg_ctes: aug, syms, singles, cand2, pp2, paths2."""
+               max_nnz: int = MAX_NNZ, rel: str = "enc") -> str:
+    """CTE chain after kg_ctes: aug, syms, singles, cand2, pp2, paths2.
+
+    ``rel`` names the fact table the paths are enumerated over (``enc``
+    for the clean graph; ``noisyf`` in the end-to-end PaTyBRED oracle,
+    which enumerates over the error-injected graph like the Spark path)."""
     return f"""
 aug AS (SELECT DISTINCT s, p, o FROM (
-  SELECT s, p, o FROM enc
+  SELECT s, p, o FROM {rel}
   UNION ALL
-  SELECT o AS s, p + {R} AS p, s AS o FROM enc)),
+  SELECT o AS s, p + {R} AS p, s AS o FROM {rel})),
 syms AS (
-  SELECT p FROM (SELECT DISTINCT p FROM enc) rp
+  SELECT p FROM (SELECT DISTINCT p FROM {rel}) rp
   WHERE NOT EXISTS (
-    SELECT 1 FROM enc t WHERE t.p = rp.p
-      AND NOT EXISTS (SELECT 1 FROM enc t2
+    SELECT 1 FROM {rel} t WHERE t.p = rp.p
+      AND NOT EXISTS (SELECT 1 FROM {rel} t2
                       WHERE t2.p = t.p AND t2.s = t.o AND t2.o = t.s))),
 rels2 AS (
   SELECT p FROM (SELECT DISTINCT p FROM aug) x
@@ -747,8 +914,12 @@ def symmetric_relations_sql(triples_cte: str, R: int = R_CONST) -> str:
             "SELECT p FROM syms")
 
 
-def negatives_ctes(R: int = R_CONST, cap: int = MAX_POS_TRAIN) -> str:
-    """CTE chain after kg_ctes: pos (capped positives), negs."""
+def negatives_ctes(R: int = R_CONST, cap: int = MAX_POS_TRAIN,
+                   rel: str = "enc", with_ne: bool = True) -> str:
+    """CTE chain after kg_ctes: pos (capped positives), negs.
+
+    ``with_ne=False`` skips the ``ne`` entity-count CTE when the composed
+    query already defines it (errors_kind1_ctes does)."""
     from kgspark.hashing import sql_phash32, sql_puniform
 
     key_sub = ("concat_ws('|', 'pbsub', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
@@ -756,13 +927,13 @@ def negatives_ctes(R: int = R_CONST, cap: int = MAX_POS_TRAIN) -> str:
     key_side = key_sub.replace("'pbsub'", "'pbside'")
     key_neg = ("concat_ws('|', 'pbneg', CAST(s AS VARCHAR), CAST(p AS VARCHAR), "
                "CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
+    ne_cte = "ne AS (SELECT count(*) AS n FROM ent),\n" if with_ne else ""
     return f"""
-ne AS (SELECT count(*) AS n FROM ent),
-pos AS (
+{ne_cte}pos AS (
   SELECT s, p, o FROM (
     SELECT s, p, o, row_number() OVER (
       PARTITION BY p ORDER BY {sql_puniform(key_sub, 'duckdb')}, s, o) AS rn
-    FROM enc) x WHERE rn <= {cap}),
+    FROM {rel}) x WHERE rn <= {cap}),
 nsel AS (
   SELECT s, p, o, {sql_phash32(key_side, 'duckdb')} % 2 AS side FROM pos),
 natt AS (
@@ -780,14 +951,204 @@ ncand AS (
 nvalid AS (
   SELECT * FROM ncand
   WHERE (s <> orig_s OR o <> orig_o)
-    AND NOT EXISTS (SELECT 1 FROM enc
-                    WHERE enc.s = ncand.s AND enc.p = ncand.p AND enc.o = ncand.o)),
+    AND NOT EXISTS (SELECT 1 FROM {rel}
+                    WHERE {rel}.s = ncand.s AND {rel}.p = ncand.p AND {rel}.o = ncand.o)),
 nbest AS (SELECT orig_s, p, orig_o, min(a) AS a FROM nvalid
           GROUP BY orig_s, p, orig_o),
 negs AS (
   SELECT DISTINCT v.s, v.p, v.o
   FROM nvalid v JOIN nbest USING (orig_s, p, orig_o, a))
 """
+
+
+# ---------------------------------------------- end-to-end PaTyBRED oracle
+#
+# The classifier FIT is not SQL-expressible, but it IS independently
+# reproducible without Spark: the training rows (capped positives ∪
+# deterministic negatives) and their feature sets are pure SQL over the
+# noisy graph, and the fit is a deterministic numpy procedure on those
+# rows. The oracle builder below runs the training SQL in its own DuckDB,
+# fits the identical numpy model, and embeds the resulting weights/leaves
+# as a VALUES table inside the final oracle SQL — so the driver's
+# kg_patybred_* checks become exact end-to-end value comparisons (scoring,
+# ranking, and metrics all in SQL), conditioned only on the shared fit
+# procedure.
+
+
+def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST) -> str:
+    """kg → kind-1 errors → noisy graph → paths/memb over the NOISY graph
+    (patybred_ranked enumerates paths on the error-injected facts) → nfl
+    (features of every noisy fact)."""
+    from kgspark import errorsgen
+    from kgspark.typesys import kg_ctes
+
+    return f"""
+{kg_ctes(raw_cte)},
+{errorsgen.errors_kind1_ctes(p_error)},
+noisy AS (
+  SELECT s, p, o, FALSE AS is_error FROM enc
+  UNION ALL
+  SELECT s, p, o, TRUE AS is_error FROM errfin),
+noisyf AS (SELECT s, p, o FROM noisy),
+{paths_ctes(R, rel='noisyf')},
+{memb_ctes(R)},
+nfl AS (
+  SELECT f.s, f.p, f.o, memb.feat
+  FROM noisyf f JOIN memb ON memb.s = f.s AND memb.o = f.o
+  WHERE NOT (memb.single AND memb.p0 = f.p)
+  UNION ALL
+  SELECT f.s, f.p, f.o, 'st_' || CAST(ty.t AS VARCHAR)
+  FROM noisyf f JOIN ty ON ty.e = f.s
+  UNION ALL
+  SELECT f.s, f.p, f.o, 'ot_' || CAST(ty.t AS VARCHAR)
+  FROM noisyf f JOIN ty ON ty.e = f.o)
+"""
+
+
+def _pb_train_ctes(raw_cte: str, p_error: float, R: int = R_CONST) -> str:
+    """…plus training rows (pos ∪ negs over noisyf) and their features."""
+    return f"""
+{_pb_noisy_ctes(raw_cte, p_error, R)},
+{negatives_ctes(R, rel='noisyf', with_ne=False)},
+train AS (
+  SELECT s, p, o, 1 AS label FROM pos
+  UNION ALL
+  SELECT s, p, o, 0 AS label FROM negs),
+tfl AS (
+  SELECT t.s, t.p, t.o, memb.feat
+  FROM train t JOIN memb ON memb.s = t.s AND memb.o = t.o
+  WHERE NOT (memb.single AND memb.p0 = t.p)
+  UNION ALL
+  SELECT t.s, t.p, t.o, 'st_' || CAST(ty.t AS VARCHAR)
+  FROM train t JOIN ty ON ty.e = t.s
+  UNION ALL
+  SELECT t.s, t.p, t.o, 'ot_' || CAST(ty.t AS VARCHAR)
+  FROM train t JOIN ty ON ty.e = t.o)
+"""
+
+
+_PB_FIT_CACHE: dict[tuple, pd.DataFrame | None] = {}
+
+
+def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
+                        clf: str, R: int = R_CONST):
+    """Run the training SQL in a fresh DuckDB and fit the numpy model —
+    no Spark involved. Returns the per-relation fit output rows."""
+    key = (hash(raw_cte), p_error, sf_dir, clf, R)
+    if key in _PB_FIT_CACHE:
+        return _PB_FIT_CACHE[key]
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    base = _pb_train_ctes(raw_cte, p_error, R)
+    train = con.execute(materialize_ctes(
+        f"WITH {base} SELECT s, p, o, label FROM train")).df()
+    tf = con.execute(materialize_ctes(
+        f"WITH {base} SELECT DISTINCT s, p, o, feat FROM tfl")).df()
+    con.close()
+
+    fmap: dict[tuple, list[str]] = {}
+    for r in tf.itertuples():
+        fmap.setdefault((r.s, r.p, r.o), []).append(r.feat)
+    train["feats"] = [
+        sorted(fmap.get((r.s, r.p, r.o), [])) for r in train.itertuples()]
+
+    fit = _fit_group if clf == "lgr" else _fit_group_dt
+    outs = [fit(grp) for _, grp in train.groupby("p", sort=True)]
+    res = pd.concat(outs, ignore_index=True) if outs else None
+    _PB_FIT_CACHE[key] = res
+    return res
+
+
+def _sql_num(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"  # repr round-trips exactly
+
+
+def _pb_scored_sql(raw_cte: str, p_error: float, sf_dir: str,
+                   clf: str = "lgr", R: int = R_CONST) -> str:
+    """Full oracle chain ending in ``scored`` (s, p, o, score, is_error)."""
+    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R)
+    if clf == "lgr":
+        if w is None or len(w) == 0:
+            vals = "(0, '_none', CAST('0.0' AS DOUBLE))"
+        else:
+            vals = ", ".join(
+                f"({int(r.p)}, '{r.feat}', {_sql_num(r.w)})"
+                for r in w.itertuples())
+        model_ctes = f"""
+wts(wp, feat, w) AS (VALUES {vals}),
+bs AS (SELECT wp, w AS bias FROM wts WHERE feat = '_bias'),
+wt AS (SELECT wp, feat, w FROM wts WHERE feat <> '_bias'),
+dots AS (
+  SELECT nfl.s, nfl.p, nfl.o, sum(coalesce(wt.w, 0.0)) AS dot
+  FROM nfl LEFT JOIN wt ON wt.wp = nfl.p AND wt.feat = nfl.feat
+  GROUP BY nfl.s, nfl.p, nfl.o),
+scored AS (
+  SELECT n.s, n.p, n.o,
+         CASE WHEN bs.wp IS NULL THEN 0.0
+              ELSE 1.0 / (1.0 + exp(-(coalesce(dots.dot, 0.0)
+                                      + coalesce(bs.bias, 0.0)))) END AS score,
+         n.is_error
+  FROM noisy n
+  LEFT JOIN dots ON dots.s = n.s AND dots.p = n.p AND dots.o = n.o
+  LEFT JOIN bs ON bs.wp = n.p)
+"""
+    else:
+        def lst(v):
+            items = ", ".join(f"'{f}'" for f in v)
+            return f"[{items}]" if len(v) else "CAST([] AS VARCHAR[])"
+
+        if w is None or len(w) == 0:
+            vals = "(0, CAST('0.0' AS DOUBLE), CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]))"
+        else:
+            vals = ", ".join(
+                f"({int(r.p)}, {_sql_num(r.prob)}, {lst(r.feats_true)}, "
+                f"{lst(r.feats_false)})" for r in w.itertuples())
+        model_ctes = """
+leaves(lp, prob, ft, ff) AS (VALUES %s),
+ff0 AS (SELECT s, p, o, list(DISTINCT feat) AS fs FROM nfl GROUP BY s, p, o),
+ffs AS (
+  SELECT n.s, n.p, n.o, n.is_error,
+         coalesce(f.fs, CAST([] AS VARCHAR[])) AS fs
+  FROM noisy n LEFT JOIN ff0 f ON f.s = n.s AND f.p = n.p AND f.o = n.o),
+hits AS (
+  SELECT ffs.s, ffs.p, ffs.o, l.prob
+  FROM ffs JOIN leaves l ON l.lp = ffs.p
+  WHERE list_has_all(ffs.fs, l.ft) AND NOT list_has_any(ffs.fs, l.ff)),
+scored AS (
+  SELECT ffs.s, ffs.p, ffs.o, coalesce(h.prob, 0.0) AS score, ffs.is_error
+  FROM ffs LEFT JOIN hits h ON h.s = ffs.s AND h.p = ffs.p AND h.o = ffs.o)
+""" % vals
+    return f"{_pb_noisy_ctes(raw_cte, p_error, R)},\n{model_ctes}"
+
+
+def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
+                      sf_dir: str = "/root/testdata/sf0.01",
+                      clf: str = "lgr", R: int = R_CONST) -> str:
+    """Exact oracle for patybred_ranked / patybred_dt_ranked; ``sf_dir``
+    must be the dataset the driver compares at (sf0.01 per contract)."""
+    return f"""
+WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R)}
+SELECT s, p, o, round(score, 6) AS score,
+       CAST(row_number() OVER (ORDER BY round(score, 6), s, p, o) AS BIGINT)
+         AS rank,
+       is_error
+FROM scored
+"""
+
+
+def metrics_oracle_sql(raw_cte: str, p_error: float = 0.05,
+                       sf_dir: str = "/root/testdata/sf0.01",
+                       clf: str = "lgr", R: int = R_CONST) -> str:
+    from kgspark import rank
+
+    flagged = (f"WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R)} "
+               "SELECT s, p, o, round(score, 6) AS score, is_error FROM scored")
+    return rank.evaluate_sql(flagged)
 
 
 def negatives_sql(triples_cte: str, R: int = R_CONST) -> str:

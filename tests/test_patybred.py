@@ -241,3 +241,74 @@ def test_fit_matches_pure_pandas_oracle(spark, graph, idx):
     assert set(got) == set(oracle)
     for k in oracle:
         assert abs(got[k] - oracle[k]) < 1e-9, (k, got[k], oracle[k])
+
+
+def test_dt_fit_matches_hand_oracle():
+    """The numpy gini tree on a hand-computable boolean dataset:
+    y = f0 AND NOT f1; root split ties (f0 vs f1 both 0.2857) break to
+    the lower feature index; the f0=1 branch splits on f1."""
+    import pandas as pd
+
+    rows = ([["f0"]] * 4          # x0=1, x1=0 → y=1
+            + [["f0", "f1"]] * 3  # x0=1, x1=1 → y=0
+            + [[]] * 3            # x0=0, x1=0 → y=0
+            + [["f1"]] * 2)       # x0=0, x1=1 → y=0
+    y = [1] * 4 + [0] * 8
+    pdf = pd.DataFrame({
+        "p": 1, "s": range(len(y)), "o": range(len(y)),
+        "label": y, "feats": rows,
+    })
+    out = patybred._fit_group_dt(pdf)
+    leaves = {(tuple(r.feats_true), tuple(r.feats_false)):
+              (r.prob, r.n) for r in out.itertuples()}
+    assert leaves == {
+        ((), ("f0",)): (0.0, 5),
+        (("f0",), ("f1",)): (1.0, 4),
+        (("f0", "f1"), ()): (0.0, 3),
+    }
+
+
+def test_dt_scoring_matches_pandas_walk(spark, graph, idx):
+    """score_facts_dt (JVM leaf-match joins) equals a driver-side pandas
+    walk of the same leaf table over collected feature sets."""
+    models = patybred.fit_models_dt(
+        graph.triples, idx, graph.types, graph.n_entities)
+    scored = patybred.score_facts_dt(
+        graph.triples, idx, graph.types, models)
+
+    leaves = models.collect()
+    fl = patybred.features_long(graph.triples, idx, graph.types)
+    feats = {(r["s"], r["p"], r["o"]): set(r["fs"]) for r in
+             fl.groupBy("s", "p", "o")
+             .agg(F.collect_set("feat").alias("fs")).collect()}
+    modeled = {r["p"] for r in leaves}
+
+    got = {(r["s"], r["p"], r["o"]): r["score"] for r in scored.collect()}
+    assert set(got) == {(r["s"], r["p"], r["o"])
+                        for r in graph.triples.collect()}
+    for (s, p, o), sc in got.items():
+        fs = feats.get((s, p, o), set())
+        if p not in modeled:
+            assert sc == 0.0
+            continue
+        hits = [lv for lv in leaves if lv["p"] == p
+                and set(lv["feats_true"]) <= fs
+                and not (set(lv["feats_false"]) & fs)]
+        assert len(hits) == 1, (s, p, o, len(hits))
+        assert abs(sc - hits[0]["prob"]) < 1e-12
+
+
+def test_dt_shacl_compiles_suspect_leaves(spark, graph, idx):
+    from kgspark import constraints
+
+    models = patybred.fit_models_dt(
+        graph.triples, idx, graph.types, graph.n_entities)
+    doc = constraints.compile_shacl_dt(
+        models, graph.relations, graph.type_names, min_sup=2, max_prob=0.5)
+    assert "sh:SPARQLConstraint" in doc
+    assert "EXISTS {" in doc
+    # every emitted shape targets a real relation
+    rels = {r["name"] for r in graph.relations.collect()}
+    import re
+    for m in re.finditer(r":(\w+)Shape a sh:NodeShape", doc):
+        assert m.group(1) in rels
