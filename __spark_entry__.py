@@ -17,9 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import (dedup, encode, errorsgen, evalops, extract, hierarchy,
-                     link, multimodal, patybred, pipeline, scoring, simsearch,
-                     synth, textstats, typesys)
+from kgspark import (correct, dedup, encode, errorsgen, evalops, extract,
+                     hierarchy, link, multimodal, patybred, pipeline, scoring,
+                     simsearch, synth, textstats, typesys)
 
 P_ERROR = 0.05
 
@@ -182,6 +182,33 @@ def _q_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_metrics(spark, sf, P_ERROR)
 
 
+# Correction-gate parameterization for the driver checks: the synthetic
+# corpus's kind-1 errors are random-entity corruptions (not typo
+# confusions), so the reference's gain=1.5 gate accepts nothing here;
+# gain=1.0 exercises the full accept path (re-score, score>=old,
+# dist/candidate tie-breaks) with a non-empty, value-checked result.
+CORR_GAIN = 1.0
+CORR_MIN = 0.01
+
+
+def _q_corrections(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
+    return correct.correct_errors(
+        ranked, ranked.select("s", "p", "o"), g.types, g.entities,
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+
+
+def _q_corrected_triples(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
+    facts = ranked.select("s", "p", "o")
+    corr = correct.correct_errors(ranked, facts, g.types, g.entities,
+                                  min_score=CORR_MIN,
+                                  min_score_gain=CORR_GAIN)
+    return correct.apply_corrections(facts, corr)
+
+
 def _q_types_closure(spark, sf):
     g = pipeline.build_graph(spark, sf)
     ta = typesys.type_assertions(g.entities, g.triples, g.relations)
@@ -328,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
         "kg_flagship_ranked": _q_flagship,
         "kg_eval_metrics": _q_metrics,
+        "kg_corrections": _q_corrections,
+        "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
         "kg_domran_materialize": _q_domran_materialize,
         "kg_omnipresent_types": _q_omnipresent,
@@ -404,6 +433,10 @@ def oracle_sql() -> dict[str, str]:
             raw, P_ERROR, clf="dt"),
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
+        "kg_corrections": correct.corrections_sql(
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+        "kg_corrected_triples": correct.corrected_triples_sql(
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_types_closure": hierarchy.types_closure_sql(raw),
         "kg_domran_materialize": hierarchy.domran_materialize_sql(raw),
         "kg_omnipresent_types": hierarchy.omnipresent_types_sql(raw),

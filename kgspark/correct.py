@@ -1,0 +1,257 @@
+"""Error CORRECTION loop (SURVEY §2 M7/P7; reference correct_errors.py).
+
+Reference semantics (/root/reference/correct_errors.py:41-126):
+take the top ``p`` fraction most-suspect facts from the ranked output;
+for each, propose OBJECT replacements ("in DBpedia confusions normally
+occur on the object", correct_errors.py:99) from the ASM name-similarity
+candidates (entityasm.py:137-160), keep candidates that (a) carry the
+relation's induced RANGE type, (b) are within ``max_dist`` edit distance,
+(c) do not form an existing triple (correct_errors.py:108-112); re-score
+each corrected triple with the SAME fitted scorer and accept the best
+candidate iff ``new/old ≥ min_score_gain`` and ``new > min_score``
+(ties → smaller distance, then smaller candidate id;
+correct_errors.py:126-141).
+
+Spark re-expression — everything is joins, no driver-side loop over
+suspects:
+
+* name candidates: SymSpell delete-variant blocking over normalized
+  entity names + exact Damerau-Levenshtein verify (the same J8 machinery
+  as kgspark.link) — one variant self-join, symmetric output;
+* range filter: the induced per-relation range (scoring.domran_model,
+  side='o') semi-joined against the candidate's types;
+* re-score: SDValidate is f(p, types(o)), so corrected-triple scores are
+  one join against the noisy graph's (p, t) distribution — the "model"
+  stays the one fitted on the observed graph, exactly like the reference
+  re-calling ed.predict_proba;
+* accept: per-fact window over the (small) candidate set — max rounded
+  new score, then min distance, then min candidate id.
+
+The whole loop is SQL-expressible → exact DuckDB oracle
+(``corrections_sql``). P7 (entity-kept filter) falls out of the accepted
+corrections: ``apply_corrections`` rewrites accepted facts and drops the
+rest of the suspect set, the reference's repair semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgspark.link import damerau_levenshtein_udf
+
+MAX_DIST = 2
+MIN_SCORE = 0.05
+MIN_GAIN = 1.5
+P_CORRECT = 0.05
+
+_DELETES_EXPR = (
+    "transform(sequence(0, length(norm)),"
+    " i -> CASE WHEN i = 0 THEN norm"
+    " ELSE concat(substr(norm, 1, i - 1), substr(norm, i + 1)) END)"
+)
+
+
+def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST) -> DataFrame:
+    """→ (a, b, dist): entity-id pairs with similar names, both directions.
+
+    SymSpell distance-1 delete variants block the candidates (recall 1.0
+    at DL ≤ 1, partial at 2 — the standard SymSpell trade; the DuckDB
+    oracle shares the exact blocking); exact DL verifies ≤ max_dist."""
+    m = entities.select(
+        F.col("id"),
+        F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("norm"))
+    v = m.select("id", "norm",
+                 F.explode(F.expr(_DELETES_EXPR)).alias("var")).distinct()
+    l = v.select("var", F.col("id").alias("a"), F.col("norm").alias("na"))
+    r = v.select("var", F.col("id").alias("b"), F.col("norm").alias("nb"))
+    pairs = (
+        l.join(r, "var").where(F.col("a") != F.col("b"))
+        .select("a", "b", "na", "nb").distinct()
+        .withColumn("dist", damerau_levenshtein_udf("na", "nb"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )
+    return pairs
+
+
+def correct_errors(
+    ranked: DataFrame,
+    facts: DataFrame,
+    types: DataFrame,
+    entities: DataFrame,
+    p: float = P_CORRECT,
+    min_score: float = MIN_SCORE,
+    min_score_gain: float = MIN_GAIN,
+    max_dist: int = MAX_DIST,
+    conf: float = 0.95,
+) -> DataFrame:
+    """→ (s, p, o, score, o_new, new_score, dist) accepted corrections.
+
+    ``ranked`` = (s, p, o, score, rank, …) over the noisy graph (score
+    ascending = most suspect first); ``facts`` = the noisy (s, p, o).
+    """
+    from kgspark.scoring import domran_model, ot_dist
+
+    n = int(ranked.count() * p)
+    suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
+
+    cands = name_candidates(entities, max_dist)
+    cand = suspects.join(
+        cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
+        "o")
+
+    # candidate must carry the relation's induced range type
+    ran = domran_model(facts, types, conf, "o").select(
+        "p", F.col("t").alias("_rt"))
+    cand = cand.join(F.broadcast(ran), "p").join(
+        types.select(F.col("e").alias("o_new"), F.col("t").alias("_rt")),
+        ["o_new", "_rt"], "left_semi")
+
+    # corrected triple must not already exist
+    cand = cand.join(
+        facts.select("s", "p", F.col("o").alias("o_new")),
+        ["s", "p", "o_new"], "left_anti")
+
+    # re-score (s, p, o_new) against the noisy graph's fitted distribution
+    dist = ot_dist(facts, types, "o")
+    norms = dist.groupBy("p").agg(
+        F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("_nrm"))
+    nt = types.groupBy("e").agg(F.count("*").alias("_nt")) \
+        .withColumnRenamed("e", "o_new")
+    dots = (
+        cand.select("p", "o_new").distinct()
+        .join(types.withColumnRenamed("e", "o_new"), "o_new")
+        .join(F.broadcast(dist), ["p", "t"], "left")
+        .groupBy("p", "o_new")
+        .agg(F.sum(F.coalesce("dist", F.lit(0.0))).alias("_dot"))
+    )
+    resc = dots.join(nt, "o_new").join(F.broadcast(norms), "p").select(
+        "p", "o_new",
+        F.round(F.col("_dot") / (F.sqrt("_nt") * F.col("_nrm")), 6)
+        .alias("new_score"))
+    cand = cand.join(resc, ["p", "o_new"])
+
+    # acceptance gate (old score 0 → any positive new score passes, the
+    # reference's new/0 = inf behavior)
+    gain_ok = F.when(F.col("score") == 0, F.col("new_score") > 0) \
+        .otherwise(F.col("new_score") / F.col("score") >= min_score_gain)
+    cand = cand.where(gain_ok & (F.col("new_score") > min_score)
+                      & (F.col("new_score") >= F.col("score")))
+
+    w = Window.partitionBy("s", "p", "o").orderBy(
+        F.desc("new_score"), "dist", "o_new")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("s", "p", "o", "score", "o_new", "new_score", "dist")
+    )
+
+
+def apply_corrections(facts: DataFrame, corrections: DataFrame) -> DataFrame:
+    """Rewrite accepted corrections into the fact table (P7 repair):
+    corrected facts swap their object; everything else passes through."""
+    fixed = corrections.select("s", "p", "o", "o_new")
+    return (
+        facts.join(fixed, ["s", "p", "o"], "left")
+        .select("s", "p", F.coalesce("o_new", "o").alias("o"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- SQL (oracle)
+
+
+def corrections_sql(raw_cte: str, p_error: float = 0.05,
+                    p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                    min_score_gain: float = MIN_GAIN) -> str:
+    from kgspark import pipeline
+
+    return (f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}, "
+            f"{corrections_ctes(p, min_score, min_score_gain)} "
+            "SELECT s, p, o, score, o_new, new_score, dist FROM corr")
+
+
+def corrected_triples_sql(raw_cte: str, p_error: float = 0.05,
+                          p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                          min_score_gain: float = MIN_GAIN) -> str:
+    from kgspark import pipeline
+
+    return (f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}, "
+            f"{corrections_ctes(p, min_score, min_score_gain)} "
+            "SELECT DISTINCT nf.s, nf.p, coalesce(corr.o_new, nf.o) AS o "
+            "FROM noisyf nf LEFT JOIN corr "
+            "ON corr.s = nf.s AND corr.p = nf.p AND corr.o = nf.o")
+
+
+def corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                     min_score_gain: float = MIN_GAIN,
+                     max_dist: int = MAX_DIST, conf: float = 0.95) -> str:
+    """CTE chain after a scope providing ``noisy``/``noisyf`` (the fact
+    table), ``flg`` (s,p,o,score,is_error), ``ent``, ``ty`` — ends in
+    ``corr``. Mirrors correct_errors exactly."""
+    deletes = ("[CASE WHEN i = 0 THEN cnorm"
+               " ELSE substr(cnorm, 1, i - 1) || substr(cnorm, i + 1) END"
+               " for i in generate_series(0, length(cnorm))]")
+    return f"""
+rkd AS (
+  SELECT s, p, o, score,
+         CAST(row_number() OVER (ORDER BY score, s, p, o) AS BIGINT) AS rank
+  FROM flg),
+susp AS (
+  SELECT s, p, o, score FROM rkd
+  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT)),
+cm AS (SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS cnorm
+       FROM ent),
+cvars AS (SELECT DISTINCT id, cnorm, unnest({deletes}) AS var FROM cm),
+cpairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         damerau_levenshtein(l.cnorm, r.cnorm) AS dist
+  FROM cvars l JOIN cvars r ON l.var = r.var AND l.id <> r.id),
+cpairs2 AS (SELECT a, b, dist FROM cpairs WHERE dist <= {max_dist}),
+cran AS (
+  SELECT p, t FROM (
+    SELECT c.p, c.t,
+           row_number() OVER (PARTITION BY c.p ORDER BY pop.pop, c.t) AS rn
+    FROM (SELECT p, t, count(*) AS cov FROM
+            (SELECT DISTINCT p, o AS e FROM noisyf) se JOIN ty ON ty.e = se.e
+          GROUP BY p, t) c
+    JOIN (SELECT p, count(*) AS n_e FROM (SELECT DISTINCT p, o AS e FROM noisyf) x
+          GROUP BY p) n ON n.p = c.p
+    JOIN (SELECT t, count(*) AS pop FROM ty GROUP BY t) pop ON pop.t = c.t
+    WHERE c.cov > {conf} * n.n_e) z WHERE rn = 1),
+ccand AS (
+  SELECT susp.s, susp.p, susp.o, susp.score, cp.b AS o_new, cp.dist
+  FROM susp JOIN cpairs2 cp ON cp.a = susp.o
+  JOIN cran ON cran.p = susp.p
+  WHERE EXISTS (SELECT 1 FROM ty WHERE ty.e = cp.b AND ty.t = cran.t)
+    AND NOT EXISTS (SELECT 1 FROM noisyf nf
+                    WHERE nf.s = susp.s AND nf.p = susp.p AND nf.o = cp.b)),
+ctot AS (SELECT count(*) AS n FROM noisyf),
+cdist AS (
+  SELECT f.p, ty.t, count(*) * 1.0 / (SELECT n FROM ctot) AS dist
+  FROM noisyf f JOIN ty ON ty.e = f.o GROUP BY f.p, ty.t),
+cnorms AS (SELECT p, sqrt(sum(dist * dist)) AS nrm FROM cdist GROUP BY p),
+cresc AS (
+  SELECT q.p, q.o_new,
+         round(sum(coalesce(cdist.dist, 0)) /
+               (sqrt(count(*)) * any_value(cnorms.nrm)), 6) AS new_score
+  FROM (SELECT DISTINCT p, o_new FROM ccand) q
+  JOIN ty ON ty.e = q.o_new
+  LEFT JOIN cdist ON cdist.p = q.p AND cdist.t = ty.t
+  JOIN cnorms ON cnorms.p = q.p
+  GROUP BY q.p, q.o_new),
+cgated AS (
+  SELECT ccand.*, cresc.new_score
+  FROM ccand JOIN cresc ON cresc.p = ccand.p AND cresc.o_new = ccand.o_new
+  WHERE (CASE WHEN ccand.score = 0 THEN cresc.new_score > 0
+              ELSE cresc.new_score / ccand.score >= {min_score_gain} END)
+    AND cresc.new_score > {min_score}
+    AND cresc.new_score >= ccand.score),
+corr AS (
+  SELECT s, p, o, score, o_new, new_score, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY s, p, o ORDER BY new_score DESC, dist, o_new) AS rn
+    FROM cgated) z WHERE rn = 1)
+"""

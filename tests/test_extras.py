@@ -146,3 +146,34 @@ def test_frame_sample_plumbing(spark, docs):
     fs = multimodal.frame_sample(media, every=7, n_frames=4)
     assert fs.count() == 40
     assert fs.select("media_id", "frame").distinct().count() == 40
+
+
+def test_correction_loop_properties(spark):
+    """M7 correction loop: accepted corrections respect every gate and
+    apply_corrections rewrites exactly the accepted facts."""
+    from kgspark import correct, pipeline
+    from tests.conftest import SF_TINY
+
+    g = pipeline.build_graph(spark, SF_TINY)
+    ranked = pipeline.flagship_ranked(spark, SF_TINY, 0.05).cache()
+    facts = ranked.select("s", "p", "o")
+    corr = correct.correct_errors(
+        ranked, facts, g.types, g.entities,
+        min_score=0.01, min_score_gain=1.0).cache()
+    assert corr.count() > 0
+    # never proposes an existing triple
+    clash = corr.select("s", "p", F.col("o_new").alias("o")) \
+        .join(facts, ["s", "p", "o"])
+    assert clash.count() == 0
+    # gates hold row-wise
+    bad = corr.where((F.col("new_score") < F.col("score"))
+                     | (F.col("dist") > correct.MAX_DIST)
+                     | (F.col("o_new") == F.col("o")))
+    assert bad.count() == 0
+    # repair swaps exactly the accepted objects
+    fixed = correct.apply_corrections(facts, corr)
+    gone = corr.join(fixed, ["s", "p", "o"], "inner")
+    assert gone.count() == 0  # old objects removed
+    present = corr.select("s", "p", F.col("o_new").alias("o")) \
+        .join(fixed, ["s", "p", "o"], "left_anti")
+    assert present.count() == 0  # new objects present
