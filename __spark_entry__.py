@@ -182,6 +182,10 @@ def _q_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_metrics(spark, sf, P_ERROR)
 
 
+def _q_flagship_avg(spark: SparkSession, sf: str) -> DataFrame:
+    return pipeline.flagship_ranked_avg(spark, sf, P_ERROR)
+
+
 # Correction-gate parameterization for the driver checks: the synthetic
 # corpus's kind-1 errors are random-entity corruptions (not typo
 # confusions), so the reference's gain=1.5 gate accepts nothing here;
@@ -354,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
         "kg_flagship_ranked": _q_flagship,
+        "kg_flagship_ranked_avg": _q_flagship_avg,
         "kg_eval_metrics": _q_metrics,
         "kg_corrections": _q_corrections,
         "kg_corrected_triples": _q_corrected_triples,
@@ -432,6 +437,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_patybred_dt_ranked": patybred.ranked_oracle_sql(
             raw, P_ERROR, clf="dt"),
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
+        "kg_flagship_ranked_avg": pipeline.flagship_ranked_avg_sql(
+            raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
         "kg_corrections": correct.corrections_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),

@@ -73,6 +73,42 @@ def _e2e(spark, rf, p_error=0.05):
     return t, n_triples, (tr_raw, tr, enc, types, noisy)
 
 
+def run_scaling(master: str, sf_dir: str, replicate: int,
+                runs: int = 3) -> dict:
+    """Median-of-``runs`` e2e throughput at one parallelism.
+
+    Protocol (BASELINE.md): one session per core count; the FIRST pass is
+    a discarded warm-up (JIT compilation, code-gen caches, broadcast of
+    the tiny docs table — the same treatment on both sides of the N-vs-4N
+    comparison), then ``runs`` measured passes; the median kills the
+    run-to-run scheduler/GC noise that made single-shot efficiency swing
+    0.65-0.80 in round 1."""
+    from kgspark import synth
+    from kgspark.session import get_spark
+
+    spark = get_spark("kgspark-bench", master=master)
+    rf = synth.repo_files_scaled(spark, sf_dir, replicate)
+    secs, n_triples, queries = [], 0, {}
+    for i in range(runs + 1):
+        t0 = time.time()
+        timings, n_triples, _ = _e2e(spark, rf)
+        dt = time.time() - t0
+        if i > 0:  # first pass = warm-up, discarded
+            secs.append(dt)
+            queries = timings
+    spark.stop()
+    secs.sort()
+    med = secs[len(secs) // 2] if len(secs) % 2 else \
+        (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2
+    return {
+        "e2e_sec_runs": [round(s, 3) for s in secs],
+        "e2e_sec": round(med, 3),
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "n_triples": n_triples,
+        "triples_per_sec": round(n_triples / med, 1),
+    }
+
+
 def run_once(master: str, sf_dir: str, replicate: int = 0,
              extras: bool = True) -> dict:
     from kgspark import synth
@@ -143,10 +179,11 @@ def main() -> None:
         # parallelism must track core count for the N-vs-4N comparison
         os.environ.setdefault("SPARK_GRAFT_COALESCE", "false")
         replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "512"))
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
         lo_n = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
         hi_n = 4 * lo_n
-        lo = run_once(f"local[{lo_n}]", sf_dir, replicate, extras=False)
-        hi = run_once(f"local[{hi_n}]", sf_dir, replicate, extras=False)
+        lo = run_scaling(f"local[{lo_n}]", sf_dir, replicate, runs)
+        hi = run_scaling(f"local[{hi_n}]", sf_dir, replicate, runs)
         eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_n / lo_n)
         out = {
             "metric": "kg pipeline e2e scaling (extract→link→encode→corrupt→score→rank)",
@@ -155,11 +192,14 @@ def main() -> None:
             "queries": hi["queries"],
             "sf": sf,
             "replicate": replicate,
+            "runs_per_side": runs,
             "n_triples": hi["n_triples"],
             "queries_lo": lo["queries"],
             "scaling": {
                 f"local[{lo_n}]_triples_per_sec": lo["triples_per_sec"],
                 f"local[{hi_n}]_triples_per_sec": hi["triples_per_sec"],
+                f"local[{lo_n}]_sec_runs": lo["e2e_sec_runs"],
+                f"local[{hi_n}]_sec_runs": hi["e2e_sec_runs"],
                 f"local[{lo_n}]_sec": lo["e2e_sec"],
                 f"local[{hi_n}]_sec": hi["e2e_sec"],
                 "efficiency": round(eff, 3),

@@ -96,6 +96,20 @@ def flagship_ranked(spark: SparkSession, sf_dir: str,
     )
 
 
+def flagship_ranked_avg(spark: SparkSession, sf_dir: str,
+                        p_error: float = 0.05) -> DataFrame:
+    """flagship_ranked with scipy's default *average* tie ranks (the
+    reference rank_facts.py:136 variant; W1 per-call-site choice)."""
+    g = build_graph(spark, sf_dir)
+    noisy = materialize(noisy_facts(g, p_error))
+    scores = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), g.types)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts_average(scores)
+    return ranked.join(noisy, ["s", "p", "o"]).select(
+        "s", "p", "o", "score", "rank", "is_error"
+    )
+
+
 def flagship_metrics(spark: SparkSession, sf_dir: str,
                      p_error: float = 0.05) -> DataFrame:
     ranked = flagship_ranked(spark, sf_dir, p_error)
@@ -134,6 +148,17 @@ SELECT s, p, o, score,
        CAST(row_number() OVER (ORDER BY score, s, p, o) AS BIGINT) AS rank,
        is_error
 FROM flg
+"""
+
+
+def flagship_ranked_avg_sql(raw_cte: str, p_error: float = 0.05) -> str:
+    return f"""
+WITH {_noisy_ctes(raw_cte, p_error)},
+g AS (SELECT score, count(*) AS c FROM flg GROUP BY score),
+cg AS (SELECT score, c, sum(c) OVER (ORDER BY score) AS cum_c FROM g),
+rk AS (SELECT score, cum_c - c + (c + 1) / 2.0 AS rank FROM cg)
+SELECT flg.s, flg.p, flg.o, flg.score, rk.rank, flg.is_error
+FROM flg JOIN rk ON rk.score = flg.score
 """
 
 

@@ -34,6 +34,33 @@ def rank_facts(scored: DataFrame, score_col: str = "score") -> DataFrame:
     return global_ordinal(scored, [score_col, "s", "p", "o"], out="rank")
 
 
+def rank_facts_average(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """→ input + ``rank`` with scipy's DEFAULT *average* tie method —
+    the variant the reference's rank_facts.py:136 actually uses
+    (``rankdata(scores)``): every member of a tie group gets the mean of
+    the ordinal ranks the group spans. Two-phase: cumulative counts over
+    the distinct-score groups (global_cumsum), then a join back — no
+    per-row window, no single partition."""
+    g = scored.groupBy(score_col).agg(F.count("*").alias("c"))
+    g = global_cumsum(g, [score_col], ["c"])
+    g = g.select(score_col,
+                 (F.col("cum_c") - F.col("c") + (F.col("c") + 1) / 2.0)
+                 .alias("rank"))
+    return scored.join(g, score_col).select(*scored.columns, "rank")
+
+
+def rank_average_sql(scored_cte: str, round_to: int = 6) -> str:
+    """Oracle for rank_facts_average over a (s,p,o,score) CTE."""
+    return f"""
+WITH sc AS ({scored_cte}),
+g AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+cg AS (SELECT score, c, sum(c) OVER (ORDER BY score) AS cum_c FROM g),
+rk AS (SELECT score, cum_c - c + (c + 1) / 2.0 AS rank FROM cg)
+SELECT sc.s, sc.p, sc.o, round(sc.score, {round_to}) AS score, rk.rank
+FROM sc JOIN rk ON rk.score = sc.score
+"""
+
+
 def evaluate(ranked: DataFrame, flag_col: str = "is_error") -> DataFrame:
     """1-row metrics DataFrame over a ranked, error-flagged fact table."""
     n = ranked.count()
