@@ -203,6 +203,14 @@ def _q_corrections(spark, sf):
         min_score=CORR_MIN, min_score_gain=CORR_GAIN)
 
 
+def _q_type_corrections(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
+    return correct.type_corrections(
+        ranked, ranked.select("s", "p", "o"), g.types,
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+
+
 def _q_corrected_triples(spark, sf):
     g = pipeline.build_graph(spark, sf)
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
@@ -361,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flagship_ranked_avg": _q_flagship_avg,
         "kg_eval_metrics": _q_metrics,
         "kg_corrections": _q_corrections,
+        "kg_type_corrections": _q_type_corrections,
         "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
         "kg_domran_materialize": _q_domran_materialize,
@@ -441,6 +450,8 @@ def oracle_sql() -> dict[str, str]:
             raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
         "kg_corrections": correct.corrections_sql(
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+        "kg_type_corrections": correct.type_corrections_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_corrected_triples": correct.corrected_triples_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),

@@ -149,6 +149,73 @@ def correct_errors(
     )
 
 
+def type_corrections(
+    ranked: DataFrame,
+    facts: DataFrame,
+    types: DataFrame,
+    p: float = P_CORRECT,
+    min_score: float = MIN_SCORE,
+    min_score_gain: float = MIN_GAIN,
+    conf: float = 0.95,
+) -> DataFrame:
+    """M6 type-prediction correction → (s, p, o, score, t_new, new_score).
+
+    Reference (/root/reference/correct_errors.py:45-75): before proposing
+    replacement entities, check whether flipping the object's RELEVANT
+    types to the type-predictor's output raises the triple's score past
+    the same gain/min gates; if so, report a TYPE correction for the
+    entity and skip entity replacement.
+
+    Deterministic Spark analog: the type predictor is the induced-range
+    model itself (scoring.domran_model side='o' — it predicts exactly the
+    relation's range type, the reference's ``relevant_o_types``), so the
+    tested flip is "object gains the missing range type". SDValidate's
+    score decomposes as dot/(sqrt(nt)·‖dist_p‖), so the flipped score is
+    closed-form columnar arithmetic — no re-materialization:
+    (dot + dist_p[t_ran]) / (sqrt(nt+1)·‖dist_p‖). The reference's
+    learned per-type classifier (an external tpdata model) is a
+    documented simplification here.
+    """
+    from kgspark.scoring import domran_model, ot_dist
+
+    n = int(ranked.count() * p)
+    suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
+
+    ran = domran_model(facts, types, conf, "o").select(
+        "p", F.col("t").alias("t_new"))
+    cand = suspects.join(F.broadcast(ran), "p")
+    # flip only applies when the object LACKS the predicted type
+    cand = cand.join(
+        types.select(F.col("e").alias("o"), F.col("t").alias("t_new")),
+        ["o", "t_new"], "left_anti")
+
+    dist = ot_dist(facts, types, "o")
+    norms = dist.groupBy("p").agg(
+        F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("_nrm"))
+    parts = (
+        cand.select("p", "o").distinct()
+        .join(types.withColumnRenamed("e", "o"), "o")
+        .join(F.broadcast(dist), ["p", "t"], "left")
+        .groupBy("p", "o")
+        .agg(F.sum(F.coalesce("dist", F.lit(0.0))).alias("_dot"),
+             F.count("*").alias("_nt"))
+    )
+    cand = cand.join(parts, ["p", "o"]) \
+        .join(F.broadcast(dist.withColumnRenamed("t", "t_new")
+                          .withColumnRenamed("dist", "_fd")),
+              ["p", "t_new"], "left") \
+        .join(F.broadcast(norms), "p")
+    new_score = F.round(
+        (F.col("_dot") + F.coalesce("_fd", F.lit(0.0)))
+        / (F.sqrt(F.col("_nt") + 1) * F.col("_nrm")), 6)
+    cand = cand.withColumn("new_score", new_score)
+    gain_ok = F.when(F.col("score") == 0, F.col("new_score") > 0) \
+        .otherwise(F.col("new_score") / F.col("score") >= min_score_gain)
+    return cand.where(gain_ok & (F.col("new_score") > min_score)
+                      & (F.col("new_score") >= F.col("score"))) \
+        .select("s", "p", "o", "score", "t_new", "new_score")
+
+
 def apply_corrections(facts: DataFrame, corrections: DataFrame) -> DataFrame:
     """Rewrite accepted corrections into the fact table (P7 repair):
     corrected facts swap their object; everything else passes through."""
@@ -161,6 +228,72 @@ def apply_corrections(facts: DataFrame, corrections: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------- SQL (oracle)
+
+
+def type_corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                          min_score_gain: float = MIN_GAIN,
+                          conf: float = 0.95) -> str:
+    """CTE chain after the ``flg``/``noisyf``/``ty`` scope → ``tcorr``."""
+    return f"""
+trkd AS (
+  SELECT s, p, o, score,
+         CAST(row_number() OVER (ORDER BY score, s, p, o) AS BIGINT) AS rank
+  FROM flg),
+tsusp AS (
+  SELECT s, p, o, score FROM trkd
+  WHERE rank <= CAST(floor((SELECT count(*) FROM trkd) * {p}) AS BIGINT)),
+tran AS (
+  SELECT p, t FROM (
+    SELECT c.p, c.t,
+           row_number() OVER (PARTITION BY c.p ORDER BY pop.pop, c.t) AS rn
+    FROM (SELECT p, t, count(*) AS cov FROM
+            (SELECT DISTINCT p, o AS e FROM noisyf) se JOIN ty ON ty.e = se.e
+          GROUP BY p, t) c
+    JOIN (SELECT p, count(*) AS n_e FROM (SELECT DISTINCT p, o AS e FROM noisyf) x
+          GROUP BY p) n ON n.p = c.p
+    JOIN (SELECT t, count(*) AS pop FROM ty GROUP BY t) pop ON pop.t = c.t
+    WHERE c.cov > {conf} * n.n_e) z WHERE rn = 1),
+ttot AS (SELECT count(*) AS n FROM noisyf),
+tdist AS (
+  SELECT f.p, ty.t, count(*) * 1.0 / (SELECT n FROM ttot) AS dist
+  FROM noisyf f JOIN ty ON ty.e = f.o GROUP BY f.p, ty.t),
+tnorms AS (SELECT p, sqrt(sum(dist * dist)) AS nrm FROM tdist GROUP BY p),
+tcand AS (
+  SELECT tsusp.s, tsusp.p, tsusp.o, tsusp.score, tran.t AS t_new
+  FROM tsusp JOIN tran ON tran.p = tsusp.p
+  WHERE NOT EXISTS (SELECT 1 FROM ty
+                    WHERE ty.e = tsusp.o AND ty.t = tran.t)),
+tparts AS (
+  SELECT q.p, q.o, sum(coalesce(tdist.dist, 0)) AS dot, count(*) AS nt
+  FROM (SELECT DISTINCT p, o FROM tcand) q
+  JOIN ty ON ty.e = q.o
+  LEFT JOIN tdist ON tdist.p = q.p AND tdist.t = ty.t
+  GROUP BY q.p, q.o),
+tscored AS (
+  SELECT tcand.*,
+         round((tparts.dot + coalesce(fd.dist, 0.0))
+               / (sqrt(tparts.nt + 1) * tnorms.nrm), 6) AS new_score
+  FROM tcand
+  JOIN tparts ON tparts.p = tcand.p AND tparts.o = tcand.o
+  LEFT JOIN tdist fd ON fd.p = tcand.p AND fd.t = tcand.t_new
+  JOIN tnorms ON tnorms.p = tcand.p),
+tcorr AS (
+  SELECT s, p, o, score, t_new, new_score FROM tscored
+  WHERE (CASE WHEN score = 0 THEN new_score > 0
+              ELSE new_score / score >= {min_score_gain} END)
+    AND new_score > {min_score}
+    AND new_score >= score)
+"""
+
+
+def type_corrections_sql(raw_cte: str, p_error: float = 0.05,
+                         p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                         min_score_gain: float = MIN_GAIN) -> str:
+    from kgspark import pipeline
+
+    return (f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}, "
+            f"{type_corrections_ctes(p, min_score, min_score_gain)} "
+            "SELECT s, p, o, score, t_new, new_score FROM tcorr")
 
 
 def corrections_sql(raw_cte: str, p_error: float = 0.05,

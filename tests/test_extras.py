@@ -177,3 +177,26 @@ def test_correction_loop_properties(spark):
     present = corr.select("s", "p", F.col("o_new").alias("o")) \
         .join(fixed, ["s", "p", "o"], "left_anti")
     assert present.count() == 0  # new objects present
+
+
+def test_type_corrections_properties(spark):
+    """M6 type-flip correction: flips add exactly the induced range type
+    to objects that lack it, and every accepted flip passes the gates
+    (the closed-form rescore's values are checked by the DuckDB oracle)."""
+    from kgspark import correct, pipeline, scoring
+    from tests.conftest import SF_TINY
+
+    g = pipeline.build_graph(spark, SF_TINY)
+    ranked = pipeline.flagship_ranked(spark, SF_TINY, 0.05).cache()
+    facts = ranked.select("s", "p", "o")
+    tc = correct.type_corrections(ranked, facts, g.types,
+                                  min_score=0.01, min_score_gain=1.0).cache()
+    assert tc.count() > 0
+    ran = scoring.domran_model(facts, g.types, 0.95, "o")
+    bad_t = tc.join(ran.withColumnRenamed("t", "t_new"), ["p", "t_new"],
+                    "left_anti")
+    assert bad_t.count() == 0  # t_new is always the induced range type
+    had = tc.join(g.types.select(F.col("e").alias("o"),
+                                 F.col("t").alias("t_new")), ["o", "t_new"])
+    assert had.count() == 0  # object lacked the type
+    assert tc.where(F.col("new_score") < F.col("score")).count() == 0
