@@ -138,6 +138,27 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
         timings["patybred_train_score"] = time.time() - t0
 
         t0 = time.time()
+        dt_models = pb.fit_models_dt(enc, idx, types, int(n_ents))
+        pb.score_facts_dt(enc, idx, types, dt_models).count()
+        timings["patybred_dt_train_score"] = time.time() - t0
+
+        t0 = time.time()
+        from kgspark import correct, encode
+        from kgspark import rank as _rank
+        from kgspark.util import materialize
+
+        sc0 = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), types) \
+            .withColumn("score", F.round("score", 6))
+        rk0 = materialize(_rank.rank_facts(sc0))
+        ents_df, _ = encode.build_dims(tr)  # name candidates need the dim
+        correct.correct_errors(rk0, noisy.select("s", "p", "o"), types,
+                               ents_df, min_score=0.01,
+                               min_score_gain=1.0).count()
+        correct.type_corrections(rk0, noisy.select("s", "p", "o"), types,
+                                 min_score=0.01, min_score_gain=1.0).count()
+        timings["corrections"] = time.time() - t0
+
+        t0 = time.time()
         sc = scoring.sdvalidate_scores(noisy.select("s", "p", "o"), types) \
             .withColumn("score", F.round("score", 6))
         rank.evaluate(rank.rank_facts(sc).join(noisy, ["s", "p", "o"])).collect()
