@@ -191,11 +191,65 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     }
 
 
+def run_probes(sf_dir: str, replicate: int = 256) -> dict:
+    """Isolate WHERE single-box scaling efficiency goes (1 vs 4 cores):
+    a compute-bound job (sha256 + hash agg — one narrow shuffle) vs a
+    shuffle-bound job (full-width repartition + distinct). On a shared-
+    memory box the compute probe scales near-linearly while the shuffle
+    probe is capped by memory bandwidth — the gap quantifies the sandbox
+    artifact vs plan quality (see BASELINE.md)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kgspark import synth
+    from kgspark.session import get_spark
+
+    def side(master):
+        spark = get_spark("kgspark-probes", master=master)
+        rf = synth.repo_files_scaled(spark, sf_dir, replicate)
+
+        def compute():
+            rf.select(F.sha2("content", 256).alias("h")).groupBy(
+                F.substring("h", 1, 2).alias("b")).agg(
+                F.count("*").alias("c"), F.max("h").alias("m")).count()
+
+        def shuffle():
+            rf.repartition(8, "path").select(
+                "repo", "path", "content").distinct().count()
+
+        out = {}
+        for name, job in (("compute", compute), ("shuffle", shuffle)):
+            job()  # warm-up
+            runs = []
+            for _ in range(3):
+                t0 = _t.time()
+                job()
+                runs.append(_t.time() - t0)
+            out[name] = sorted(runs)[1]
+        spark.stop()
+        return out
+
+    lo, hi = side("local[1]"), side("local[4]")
+    return {
+        "replicate": replicate,
+        "local[1]": {k: round(v, 3) for k, v in lo.items()},
+        "local[4]": {k: round(v, 3) for k, v in hi.items()},
+        "efficiency": {k: round(lo[k] / hi[k] / 4, 3) for k in lo},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--probes" in sys.argv:
+        os.environ.setdefault("SPARK_GRAFT_COALESCE", "false")
+        out = {"metric": "compute vs shuffle 1->4 core scaling probes",
+               "unit": "sec", "sf": sf, **run_probes(sf_dir)}
+        print(json.dumps(out))
+        return
     if "--scaling" in sys.argv:
         # parallelism must track core count for the N-vs-4N comparison
         os.environ.setdefault("SPARK_GRAFT_COALESCE", "false")
