@@ -203,6 +203,11 @@ def _q_corrections(spark, sf):
         min_score=CORR_MIN, min_score_gain=CORR_GAIN)
 
 
+def _q_errors_k3(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    return errorsgen.inject_errors_kind3(g.triples, g.entities, P_ERROR)
+
+
 def _q_type_corrections(spark, sf):
     g = pipeline.build_graph(spark, sf)
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
@@ -356,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_domran_scores": _q_domran,
         "kg_errors_kind1": _q_errors_k1,
         "kg_errors_kind2": _q_errors_k2,
+        "kg_errors_kind3": _q_errors_k3,
         "kg_relation_support": _q_relation_support,
         "kg_paths_depth2": _q_paths_depth2,
         "kg_patybred_negatives": _q_patybred_negatives,
@@ -430,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_domran_scores": scoring.domran_scores_sql(raw),
         "kg_errors_kind1": errorsgen.errors_kind1_sql(raw, P_ERROR),
         "kg_errors_kind2": errorsgen.errors_kind2_sql(raw, P_ERROR),
+        "kg_errors_kind3": errorsgen.errors_kind3_sql(raw, P_ERROR),
         "kg_relation_support": patybred.relation_support_sql(raw),
         "kg_paths_depth2": patybred.paths_depth2_sql(raw),
         "kg_patybred_negatives": patybred.negatives_sql(raw),

@@ -306,6 +306,33 @@ def corrections_sql(raw_cte: str, p_error: float = 0.05,
             "SELECT s, p, o, score, o_new, new_score, dist FROM corr")
 
 
+def corrections_typo_sql(raw_cte: str, p_error: float = 0.05,
+                         p: float = P_CORRECT, min_score: float = 0.1,
+                         min_score_gain: float = MIN_GAIN) -> str:
+    """Oracle for the typo-confusion demo: kind-3 errors → SDValidate →
+    rank → correction loop with the reference's gain=1.5 gate."""
+    from kgspark import errorsgen
+    from kgspark.scoring import sdvalidate_ctes
+    from kgspark.typesys import kg_ctes
+
+    return f"""
+WITH {kg_ctes(raw_cte)},
+{name_candidates_ctes()},
+{errorsgen.errors_kind3_ctes(p_error, with_cands=False)},
+noisy AS (
+  SELECT s, p, o, FALSE AS is_error FROM enc
+  UNION ALL
+  SELECT s, p, o, TRUE AS is_error FROM errfin),
+noisyf AS (SELECT s, p, o FROM noisy),
+{sdvalidate_ctes('noisyf')},
+flg AS (SELECT sdv.s, sdv.p, sdv.o, sdv.score, noisy.is_error
+        FROM sdv JOIN noisy
+          ON noisy.s = sdv.s AND noisy.p = sdv.p AND noisy.o = sdv.o),
+{corrections_ctes(p, min_score, min_score_gain, with_cands=False)}
+SELECT s, p, o, score, o_new, new_score, dist FROM corr
+"""
+
+
 def corrected_triples_sql(raw_cte: str, p_error: float = 0.05,
                           p: float = P_CORRECT, min_score: float = MIN_SCORE,
                           min_score_gain: float = MIN_GAIN) -> str:
@@ -318,15 +345,34 @@ def corrected_triples_sql(raw_cte: str, p_error: float = 0.05,
             "ON corr.s = nf.s AND corr.p = nf.p AND corr.o = nf.o")
 
 
-def corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
-                     min_score_gain: float = MIN_GAIN,
-                     max_dist: int = MAX_DIST, conf: float = 0.95) -> str:
-    """CTE chain after a scope providing ``noisy``/``noisyf`` (the fact
-    table), ``flg`` (s,p,o,score,is_error), ``ent``, ``ty`` — ends in
-    ``corr``. Mirrors correct_errors exactly."""
+def name_candidates_ctes(max_dist: int = MAX_DIST) -> str:
+    """CTE chain after a scope providing ``ent`` → ``cpairs2`` (a, b,
+    dist): the SQL mirror of name_candidates. Shared by the correction
+    oracle and the kind-3 typo-error oracle."""
     deletes = ("[CASE WHEN i = 0 THEN cnorm"
                " ELSE substr(cnorm, 1, i - 1) || substr(cnorm, i + 1) END"
                " for i in generate_series(0, length(cnorm))]")
+    return f"""
+cm AS (SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS cnorm
+       FROM ent),
+cvars AS (SELECT DISTINCT id, cnorm, unnest({deletes}) AS var FROM cm),
+cpairs AS (
+  SELECT DISTINCT l.id AS a, r.id AS b,
+         damerau_levenshtein(l.cnorm, r.cnorm) AS dist
+  FROM cvars l JOIN cvars r ON l.var = r.var AND l.id <> r.id),
+cpairs2 AS (SELECT a, b, dist FROM cpairs WHERE dist <= {max_dist})
+"""
+
+
+def corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                     min_score_gain: float = MIN_GAIN,
+                     max_dist: int = MAX_DIST, conf: float = 0.95,
+                     with_cands: bool = True) -> str:
+    """CTE chain after a scope providing ``noisy``/``noisyf`` (the fact
+    table), ``flg`` (s,p,o,score,is_error), ``ent``, ``ty`` — ends in
+    ``corr``. Mirrors correct_errors exactly. ``with_cands=False`` skips
+    the shared name-candidate CTEs when already in scope."""
+    cands = f"{name_candidates_ctes(max_dist)}," if with_cands else ""
     return f"""
 rkd AS (
   SELECT s, p, o, score,
@@ -335,14 +381,7 @@ rkd AS (
 susp AS (
   SELECT s, p, o, score FROM rkd
   WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT)),
-cm AS (SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS cnorm
-       FROM ent),
-cvars AS (SELECT DISTINCT id, cnorm, unnest({deletes}) AS var FROM cm),
-cpairs AS (
-  SELECT DISTINCT l.id AS a, r.id AS b,
-         damerau_levenshtein(l.cnorm, r.cnorm) AS dist
-  FROM cvars l JOIN cvars r ON l.var = r.var AND l.id <> r.id),
-cpairs2 AS (SELECT a, b, dist FROM cpairs WHERE dist <= {max_dist}),
+{cands}
 cran AS (
   SELECT p, t FROM (
     SELECT c.p, c.t,

@@ -110,6 +110,41 @@ def inject_errors_kind2(triples: DataFrame, types: DataFrame,
     return _finish(cand.drop("sig", "_midx", "gsz", "_tgt"), triples)
 
 
+def inject_errors_kind3(triples: DataFrame, entities: DataFrame,
+                        p_error: float = 0.05, max_dist: int = 2) -> DataFrame:
+    """Kind-3: typo-CONFUSION corruption — replace the object with a
+    name-similar entity (Damerau-Levenshtein ≤ max_dist via SymSpell
+    delete-variant blocking, the same candidate machinery the correction
+    loop searches). This is the realistic DBpedia error class the
+    reference's ASM repair targets ("confusions normally occur on the
+    object", /root/reference/correct_errors.py:99): unlike kind-1's
+    random entities, a confused object is *recoverable* — the true object
+    is inside the corrupted object's name-similarity candidate set.
+
+    Only triples whose object HAS a name-similar partner are eligible;
+    picks are hash-indexed into the partner list ordered by (dist, id)
+    via the grouped ordinal (join-based, no member arrays); collisions
+    with existing triples rejected through the bounded-attempt machinery.
+    """
+    from kgspark.correct import name_candidates
+    from kgspark.ordering import grouped_ordinal
+
+    cands = name_candidates(entities, max_dist)
+    gsz = cands.groupBy("a").agg(F.count("*").alias("gsz"))
+    members = grouped_ordinal(cands, ["a"], ["dist", "b"], out="_midx")
+
+    sel = triples.where(puniform(["s", "p", "o"], "errsel3") < p_error)
+    sel = sel.join(gsz.withColumnRenamed("a", "o"), "o")
+    cand = sel.withColumn("a", F.explode(F.sequence(F.lit(0), F.lit(MAX_ATTEMPTS - 1))))
+    idx = pick_mod(["s", "p", "o", "a"], F.col("gsz"), "errrepl3") + 1
+    cand = cand.withColumn("_midx", idx.cast("long")).join(
+        members.select(F.col("a").alias("o"), "_midx",
+                       F.col("b").alias("cand")),
+        ["o", "_midx"],
+    ).withColumn("side", F.lit(1))
+    return _finish(cand.drop("_midx", "gsz"), triples)
+
+
 # ---------------------------------------------------------------- SQL (oracle)
 
 
@@ -186,6 +221,43 @@ c AS (
   FROM att),
 {_finish_ctes("SELECT s, p, o, side, a, cnd FROM c")}
 """
+
+
+def errors_kind3_ctes(p_error: float = 0.05, max_dist: int = 2,
+                      with_cands: bool = True) -> str:
+    """CTE chain (after kg_ctes) defining ``errfin`` for kind 3.
+
+    ``with_cands=False`` skips the shared name-candidate CTEs when the
+    composed query already defines them (the correction oracle does)."""
+    from kgspark.correct import name_candidates_ctes
+
+    key_sel = ("concat_ws('|', 'errsel3', CAST(s AS VARCHAR), "
+               "CAST(p AS VARCHAR), CAST(o AS VARCHAR))")
+    key_rep = ("concat_ws('|', 'errrepl3', CAST(s AS VARCHAR), "
+               "CAST(p AS VARCHAR), CAST(o AS VARCHAR), CAST(a AS VARCHAR))")
+    cands = f"{name_candidates_ctes(max_dist)}," if with_cands else ""
+    return f"""
+{cands}
+k3g AS (SELECT a, count(*) AS gsz FROM cpairs2 GROUP BY a),
+k3m AS (SELECT a AS ka, b, row_number() OVER (PARTITION BY a ORDER BY dist, b) AS midx
+        FROM cpairs2),
+sel3 AS (
+  SELECT enc.s, enc.p, enc.o, k3g.gsz FROM enc JOIN k3g ON k3g.a = enc.o
+  WHERE {sql_puniform(key_sel, 'duckdb')} < {p_error}),
+att3 AS (
+  SELECT sel3.*, a FROM sel3,
+    (SELECT unnest(generate_series(0, {MAX_ATTEMPTS - 1})) AS a) ats3),
+c3 AS (
+  SELECT att3.s, att3.p, att3.o, 1 AS side, att3.a, k3m.b AS cnd
+  FROM att3 JOIN k3m ON k3m.ka = att3.o
+   AND k3m.midx = ({sql_phash32(key_rep, 'duckdb')} % att3.gsz) + 1),
+{_finish_ctes("SELECT s, p, o, side, a, cnd FROM c3")}
+"""
+
+
+def errors_kind3_sql(triples_cte: str, p_error: float = 0.05) -> str:
+    return (f"WITH {kg_ctes(triples_cte)}, {errors_kind3_ctes(p_error)} "
+            "SELECT * FROM errfin")
 
 
 def errors_kind1_sql(triples_cte: str, p_error: float = 0.05) -> str:

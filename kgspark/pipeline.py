@@ -76,8 +76,10 @@ def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1) -> DataFrame:
     """True facts ∪ injected errors with an ``is_error`` flag (U6)."""
     if kind == 1:
         errs = errorsgen.inject_errors_kind1(g.triples, g.n_entities, p_error)
-    else:
+    elif kind == 2:
         errs = errorsgen.inject_errors_kind2(g.triples, g.types, p_error)
+    else:
+        errs = errorsgen.inject_errors_kind3(g.triples, g.entities, p_error)
     return g.triples.select(
         "s", "p", "o", F.lit(False).alias("is_error")
     ).unionByName(errs.select("s", "p", "o", F.lit(True).alias("is_error")))
