@@ -208,6 +208,29 @@ def _q_errors_k3(spark: SparkSession, sf: str) -> DataFrame:
     return errorsgen.inject_errors_kind3(g.triples, g.entities, P_ERROR)
 
 
+def _q_corrections_pb(spark: SparkSession, sf: str) -> DataFrame:
+    """Correction loop with the PaTyBRED scorer on kind-3 typo-confusion
+    errors — the entity-sensitive configuration the reference's repair
+    targets. On this synthetic corpus the per-relation PB scores are
+    near-constant (type features dominate the 4-relation vocabulary), so
+    the demonstrative equal-score gate is used; the funnel, re-scoring
+    and tie-break picks are value-checked end-to-end."""
+    from kgspark import rank
+
+    g = pipeline.build_graph(spark, sf)
+    noisy = pipeline.materialize(pipeline.noisy_facts(g, P_ERROR, kind=3))
+    facts = noisy.select("s", "p", "o")
+    idx = patybred.enumerate_paths(facts, g.relations.count())
+    models = patybred.fit_models(facts, idx, g.types, g.n_entities)
+    scores = pipeline.materialize(
+        patybred.score_facts(facts, idx, g.types, models)
+        .withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts(scores)
+    return correct.correct_errors_patybred(
+        ranked, facts, g.types, g.entities, idx, models,
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+
+
 def _q_type_corrections(spark, sf):
     g = pipeline.build_graph(spark, sf)
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
@@ -375,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_flagship_ranked_avg": _q_flagship_avg,
         "kg_eval_metrics": _q_metrics,
         "kg_corrections": _q_corrections,
+        "kg_corrections_pb": _q_corrections_pb,
         "kg_type_corrections": _q_type_corrections,
         "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
@@ -457,6 +481,8 @@ def oracle_sql() -> dict[str, str]:
             raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
         "kg_corrections": correct.corrections_sql(
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+        "kg_corrections_pb": correct.corrections_pb_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_type_corrections": correct.type_corrections_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),

@@ -149,6 +149,65 @@ def correct_errors(
     )
 
 
+def correct_errors_patybred(
+    ranked: DataFrame,
+    facts: DataFrame,
+    types: DataFrame,
+    entities: DataFrame,
+    idx,
+    models: DataFrame,
+    p: float = P_CORRECT,
+    min_score: float = 0.1,
+    min_score_gain: float = MIN_GAIN,
+    max_dist: int = MAX_DIST,
+    conf: float = 0.95,
+) -> DataFrame:
+    """M7 with the PaTyBRED scorer — the configuration where confusion
+    repair actually works: a typo-confused object has no path context for
+    its subject, so the corrected triple's path features push its score
+    far above the corrupted one and the reference's gain=1.5 gate fires
+    (a type-level scorer like SDValidate cannot separate same-typed
+    confusions — see correct_errors). Same candidate funnel; the re-score
+    is patybred.score_facts over the candidate triples with the models
+    fitted on the noisy graph (= the reference re-calling
+    ed.predict_proba, correct_errors.py:126-131)."""
+    from kgspark import patybred
+    from kgspark.scoring import domran_model
+
+    n = int(ranked.count() * p)
+    suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
+    cands = name_candidates(entities, max_dist)
+    cand = suspects.join(
+        cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
+        "o")
+    ran = domran_model(facts, types, conf, "o").select(
+        "p", F.col("t").alias("_rt"))
+    cand = cand.join(F.broadcast(ran), "p").join(
+        types.select(F.col("e").alias("o_new"), F.col("t").alias("_rt")),
+        ["o_new", "_rt"], "left_semi")
+    cand = cand.join(
+        facts.select("s", "p", F.col("o").alias("o_new")),
+        ["s", "p", "o_new"], "left_anti")
+
+    ct = cand.select("s", "p", F.col("o_new").alias("o")).distinct()
+    resc = patybred.score_facts(ct, idx, types, models).select(
+        "s", "p", F.col("o").alias("o_new"),
+        F.round("score", 6).alias("new_score"))
+    cand = cand.join(resc, ["s", "p", "o_new"])
+
+    gain_ok = F.when(F.col("score") == 0, F.col("new_score") > 0) \
+        .otherwise(F.col("new_score") / F.col("score") >= min_score_gain)
+    cand = cand.where(gain_ok & (F.col("new_score") > min_score)
+                      & (F.col("new_score") >= F.col("score")))
+    w = Window.partitionBy("s", "p", "o").orderBy(
+        F.desc("new_score"), "dist", "o_new")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("s", "p", "o", "score", "o_new", "new_score", "dist")
+    )
+
+
 def type_corrections(
     ranked: DataFrame,
     facts: DataFrame,
@@ -306,30 +365,82 @@ def corrections_sql(raw_cte: str, p_error: float = 0.05,
             "SELECT s, p, o, score, o_new, new_score, dist FROM corr")
 
 
-def corrections_typo_sql(raw_cte: str, p_error: float = 0.05,
-                         p: float = P_CORRECT, min_score: float = 0.1,
-                         min_score_gain: float = MIN_GAIN) -> str:
-    """Oracle for the typo-confusion demo: kind-3 errors → SDValidate →
-    rank → correction loop with the reference's gain=1.5 gate."""
-    from kgspark import errorsgen
-    from kgspark.scoring import sdvalidate_ctes
-    from kgspark.typesys import kg_ctes
+def corrections_pb_sql(raw_cte: str, p_error: float = 0.05,
+                       p: float = P_CORRECT, min_score: float = 0.1,
+                       min_score_gain: float = MIN_GAIN,
+                       conf: float = 0.95,
+                       sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact oracle for correct_errors_patybred on the kind-3 noisy graph:
+    reuses the Spark-free PaTyBRED fit (weights embedded as VALUES in
+    the ``wt``/``bs`` CTEs) and re-scores candidate triples with the same
+    feature joins the noisy facts were scored with."""
+    from kgspark.patybred import _pb_scored_sql
 
+    chain = _pb_scored_sql(raw_cte, p_error, sf_dir, "lgr", kind=3)
     return f"""
-WITH {kg_ctes(raw_cte)},
-{name_candidates_ctes()},
-{errorsgen.errors_kind3_ctes(p_error, with_cands=False)},
-noisy AS (
-  SELECT s, p, o, FALSE AS is_error FROM enc
+WITH {chain},
+flg AS (SELECT s, p, o, round(score, 6) AS score, is_error FROM scored),
+rkd AS (
+  SELECT s, p, o, score,
+         CAST(row_number() OVER (ORDER BY score, s, p, o) AS BIGINT) AS rank
+  FROM flg),
+susp AS (
+  SELECT s, p, o, score FROM rkd
+  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT)),
+cran AS (
+  SELECT p, t FROM (
+    SELECT c.p, c.t,
+           row_number() OVER (PARTITION BY c.p ORDER BY pop.pop, c.t) AS rn
+    FROM (SELECT p, t, count(*) AS cov FROM
+            (SELECT DISTINCT p, o AS e FROM noisyf) se JOIN ty ON ty.e = se.e
+          GROUP BY p, t) c
+    JOIN (SELECT p, count(*) AS n_e FROM (SELECT DISTINCT p, o AS e FROM noisyf) x
+          GROUP BY p) n ON n.p = c.p
+    JOIN (SELECT t, count(*) AS pop FROM ty GROUP BY t) pop ON pop.t = c.t
+    WHERE c.cov > {conf} * n.n_e) z WHERE rn = 1),
+ccpb AS (
+  SELECT susp.s, susp.p, susp.o, susp.score, cp.b AS o_new, cp.dist
+  FROM susp JOIN cpairs2 cp ON cp.a = susp.o
+  JOIN cran ON cran.p = susp.p
+  WHERE EXISTS (SELECT 1 FROM ty WHERE ty.e = cp.b AND ty.t = cran.t)
+    AND NOT EXISTS (SELECT 1 FROM noisyf nf
+                    WHERE nf.s = susp.s AND nf.p = susp.p AND nf.o = cp.b)),
+dt3 AS (SELECT DISTINCT s, p, o_new FROM ccpb),
+rfeat AS (
+  SELECT d.s, d.p, d.o_new, memb.feat
+  FROM dt3 d JOIN memb ON memb.s = d.s AND memb.o = d.o_new
+  WHERE NOT (memb.single AND memb.p0 = d.p)
   UNION ALL
-  SELECT s, p, o, TRUE AS is_error FROM errfin),
-noisyf AS (SELECT s, p, o FROM noisy),
-{sdvalidate_ctes('noisyf')},
-flg AS (SELECT sdv.s, sdv.p, sdv.o, sdv.score, noisy.is_error
-        FROM sdv JOIN noisy
-          ON noisy.s = sdv.s AND noisy.p = sdv.p AND noisy.o = sdv.o),
-{corrections_ctes(p, min_score, min_score_gain, with_cands=False)}
-SELECT s, p, o, score, o_new, new_score, dist FROM corr
+  SELECT d.s, d.p, d.o_new, 'st_' || CAST(ty.t AS VARCHAR)
+  FROM dt3 d JOIN ty ON ty.e = d.s
+  UNION ALL
+  SELECT d.s, d.p, d.o_new, 'ot_' || CAST(ty.t AS VARCHAR)
+  FROM dt3 d JOIN ty ON ty.e = d.o_new),
+rdot AS (
+  SELECT rfeat.s, rfeat.p, rfeat.o_new, sum(coalesce(wt.w, 0.0)) AS dot
+  FROM rfeat LEFT JOIN wt ON wt.wp = rfeat.p AND wt.feat = rfeat.feat
+  GROUP BY rfeat.s, rfeat.p, rfeat.o_new),
+rsc AS (
+  SELECT d.s, d.p, d.o_new,
+         round(CASE WHEN bs.wp IS NULL THEN 0.0
+               ELSE 1.0 / (1.0 + exp(-(coalesce(rdot.dot, 0.0)
+                                       + coalesce(bs.bias, 0.0)))) END, 6)
+           AS new_score
+  FROM dt3 d
+  LEFT JOIN rdot ON rdot.s = d.s AND rdot.p = d.p AND rdot.o_new = d.o_new
+  LEFT JOIN bs ON bs.wp = d.p),
+cgated3 AS (
+  SELECT ccpb.*, rsc.new_score
+  FROM ccpb JOIN rsc ON rsc.s = ccpb.s AND rsc.p = ccpb.p
+   AND rsc.o_new = ccpb.o_new
+  WHERE (CASE WHEN ccpb.score = 0 THEN rsc.new_score > 0
+              ELSE rsc.new_score / ccpb.score >= {min_score_gain} END)
+    AND rsc.new_score > {min_score}
+    AND rsc.new_score >= ccpb.score)
+SELECT s, p, o, score, o_new, new_score, dist FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY s, p, o ORDER BY new_score DESC, dist, o_new) AS rn
+  FROM cgated3) z WHERE rn = 1
 """
 
 

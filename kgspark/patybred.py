@@ -975,16 +975,27 @@ negs AS (
 # procedure.
 
 
-def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST) -> str:
-    """kg → kind-1 errors → noisy graph → paths/memb over the NOISY graph
-    (patybred_ranked enumerates paths on the error-injected facts) → nfl
-    (features of every noisy fact)."""
+def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
+                   kind: int = 1) -> str:
+    """kg → kind-1/3 errors → noisy graph → paths/memb over the NOISY
+    graph (patybred_ranked enumerates paths on the error-injected facts)
+    → nfl (features of every noisy fact)."""
     from kgspark import errorsgen
     from kgspark.typesys import kg_ctes
 
+    if kind == 1:
+        err = errorsgen.errors_kind1_ctes(p_error)
+    else:
+        from kgspark.correct import name_candidates_ctes
+
+        # kind-1 emits the `ne` entity-count CTE that the downstream
+        # negatives chain expects; emit it here for the kind-3 chain too
+        err = ("ne AS (SELECT count(*) AS n FROM ent),"
+               f"{name_candidates_ctes()},"
+               f"{errorsgen.errors_kind3_ctes(p_error, with_cands=False)}")
     return f"""
 {kg_ctes(raw_cte)},
-{errorsgen.errors_kind1_ctes(p_error)},
+{err},
 noisy AS (
   SELECT s, p, o, FALSE AS is_error FROM enc
   UNION ALL
@@ -1005,10 +1016,11 @@ nfl AS (
 """
 
 
-def _pb_train_ctes(raw_cte: str, p_error: float, R: int = R_CONST) -> str:
+def _pb_train_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
+                   kind: int = 1) -> str:
     """…plus training rows (pos ∪ negs over noisyf) and their features."""
     return f"""
-{_pb_noisy_ctes(raw_cte, p_error, R)},
+{_pb_noisy_ctes(raw_cte, p_error, R, kind)},
 {negatives_ctes(R, rel='noisyf', with_ne=False)},
 train AS (
   SELECT s, p, o, 1 AS label FROM pos
@@ -1031,10 +1043,10 @@ _PB_FIT_CACHE: dict[tuple, pd.DataFrame | None] = {}
 
 
 def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
-                        clf: str, R: int = R_CONST):
+                        clf: str, R: int = R_CONST, kind: int = 1):
     """Run the training SQL in a fresh DuckDB and fit the numpy model —
     no Spark involved. Returns the per-relation fit output rows."""
-    key = (hash(raw_cte), p_error, sf_dir, clf, R)
+    key = (hash(raw_cte), p_error, sf_dir, clf, R, kind)
     if key in _PB_FIT_CACHE:
         return _PB_FIT_CACHE[key]
     import duckdb
@@ -1044,7 +1056,7 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
                 f"'{sf_dir}/documents.parquet')")
-    base = _pb_train_ctes(raw_cte, p_error, R)
+    base = _pb_train_ctes(raw_cte, p_error, R, kind)
     train = con.execute(materialize_ctes(
         f"WITH {base} SELECT s, p, o, label FROM train")).df()
     tf = con.execute(materialize_ctes(
@@ -1069,9 +1081,10 @@ def _sql_num(x: float) -> str:
 
 
 def _pb_scored_sql(raw_cte: str, p_error: float, sf_dir: str,
-                   clf: str = "lgr", R: int = R_CONST) -> str:
+                   clf: str = "lgr", R: int = R_CONST,
+                   kind: int = 1) -> str:
     """Full oracle chain ending in ``scored`` (s, p, o, score, is_error)."""
-    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R)
+    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R, kind)
     if clf == "lgr":
         if w is None or len(w) == 0:
             vals = "(0, '_none', CAST('0.0' AS DOUBLE))"
@@ -1123,7 +1136,7 @@ scored AS (
   SELECT ffs.s, ffs.p, ffs.o, coalesce(h.prob, 0.0) AS score, ffs.is_error
   FROM ffs LEFT JOIN hits h ON h.s = ffs.s AND h.p = ffs.p AND h.o = ffs.o)
 """ % vals
-    return f"{_pb_noisy_ctes(raw_cte, p_error, R)},\n{model_ctes}"
+    return f"{_pb_noisy_ctes(raw_cte, p_error, R, kind)},\n{model_ctes}"
 
 
 def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
