@@ -215,19 +215,10 @@ def _q_corrections_pb(spark: SparkSession, sf: str) -> DataFrame:
     near-constant (type features dominate the 4-relation vocabulary), so
     the demonstrative equal-score gate is used; the funnel, re-scoring
     and tie-break picks are value-checked end-to-end."""
-    from kgspark import rank
-
     g = pipeline.build_graph(spark, sf)
-    noisy = pipeline.materialize(pipeline.noisy_facts(g, P_ERROR, kind=3))
-    facts = noisy.select("s", "p", "o")
-    idx = patybred.enumerate_paths(facts, g.relations.count())
-    models = patybred.fit_models(facts, idx, g.types, g.n_entities)
-    scores = pipeline.materialize(
-        patybred.score_facts(facts, idx, g.types, models)
-        .withColumn("score", F.round("score", 6)))
-    ranked = rank.rank_facts(scores)
+    b = patybred.pb_bundle(spark, sf, P_ERROR, clf="lgr", kind=3)
     return correct.correct_errors_patybred(
-        ranked, facts, g.types, g.entities, idx, models,
+        b.ranked, b.facts, g.types, g.entities, b.idx, b.models,
         min_score=CORR_MIN, min_score_gain=CORR_GAIN)
 
 

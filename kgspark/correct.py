@@ -369,14 +369,16 @@ def corrections_pb_sql(raw_cte: str, p_error: float = 0.05,
                        p: float = P_CORRECT, min_score: float = 0.1,
                        min_score_gain: float = MIN_GAIN,
                        conf: float = 0.95,
-                       sf_dir: str = "/root/testdata/sf0.01") -> str:
+                       sf_dir: str | None = None) -> str:
     """Exact oracle for correct_errors_patybred on the kind-3 noisy graph:
     reuses the Spark-free PaTyBRED fit (weights embedded as VALUES in
     the ``wt``/``bs`` CTEs) and re-scores candidate triples with the same
     feature joins the noisy facts were scored with."""
     from kgspark.patybred import _pb_scored_sql
+    from kgspark.util import oracle_sf_dir
 
-    chain = _pb_scored_sql(raw_cte, p_error, sf_dir, "lgr", kind=3)
+    chain = _pb_scored_sql(raw_cte, p_error, sf_dir or oracle_sf_dir(),
+                           "lgr", kind=3)
     return f"""
 WITH {chain},
 flg AS (SELECT s, p, o, round(score, 6) AS score, is_error FROM scored),

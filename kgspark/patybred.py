@@ -181,7 +181,39 @@ def path_relevances(
     return rel
 
 
+# Path-BFS memo: the driver re-derives the SAME PathIndex for several
+# queries over the memoized graph (features, negatives, paths); keyed by
+# the identity of the (cached) triples DataFrame so distinct graphs never
+# collide. Values hold the DF reference, keeping id() stable.
+_PATHS_MEMO: dict[tuple, tuple[DataFrame, "PathIndex"]] = {}
+
+
 def enumerate_paths(
+    triples: DataFrame,
+    R: int,
+    min_sup: int = MIN_SUP,
+    max_nnz: int = MAX_NNZ,
+    max_depth: int = 2,
+    max_paths_per_level: int | None = None,
+    path_selection_mode: str = "inter",
+    domains: dict[int, str] | None = None,
+    ranges: dict[int, str] | None = None,
+) -> PathIndex:
+    key = (id(triples), R, min_sup, max_nnz, max_depth, max_paths_per_level,
+           path_selection_mode,
+           tuple(sorted((domains or {}).items())),
+           tuple(sorted((ranges or {}).items())))
+    hit = _PATHS_MEMO.get(key)
+    if hit is not None and hit[0] is triples:
+        return hit[1]
+    idx = _enumerate_paths(triples, R, min_sup, max_nnz, max_depth,
+                           max_paths_per_level, path_selection_mode,
+                           domains, ranges)
+    _PATHS_MEMO[key] = (triples, idx)
+    return idx
+
+
+def _enumerate_paths(
     triples: DataFrame,
     R: int,
     min_sup: int = MIN_SUP,
@@ -260,32 +292,52 @@ def enumerate_paths(
             )[:max_paths_per_level]
 
         next_paths = []
-        for new in candidates:
-            a = paths[new[:-1]].alias("a")
-            b = aug.where(F.col("p") == new[-1]).select(
-                F.col("s").alias("m"), F.col("o").alias("o2")
-            ).alias("b")
-            prod = (
-                a.join(b, F.col("a.o") == F.col("b.m"))
-                .select(F.col("a.s").alias("s"), F.col("b.o2").alias("o"))
-                .distinct()
-            )
-            prod = materialize(prod)
-            nnz = prod.count()
-            if min_sup <= nnz < max_nnz:
-                paths[new] = prod
-                supports[new] = nnz
-                next_paths.append(new)
-                # the reference registers BOTH the path and its
-                # inverse-reversed twin as features, the twin's pairs being
-                # the transpose of the computed product (reference
-                # patybred.py:273-276). The no-backtrack prune guarantees
-                # twin != new at this depth (p1 == inv(p2) was skipped).
-                twin = tuple(inv(i, R) for i in reversed(new))
-                paths[twin] = prod.select(
-                    F.col("o").alias("s"), F.col("s").alias("o"))
-                supports[twin] = nnz
-                next_paths.append(twin)
+        if candidates:
+            # Batched support counting: union every candidate product under
+            # a path-id column, materialize ONCE, count with ONE
+            # groupBy('_pid') job — job count per BFS level is O(1) instead
+            # of one Spark job per candidate path (matters for any larger
+            # relation vocabulary; reference analog patybred.py:257-296).
+            parts = []
+            for new in candidates:
+                a = paths[new[:-1]].alias("a")
+                b = aug.where(F.col("p") == new[-1]).select(
+                    F.col("s").alias("m"), F.col("o").alias("o2")
+                ).alias("b")
+                parts.append(
+                    a.join(b, F.col("a.o") == F.col("b.m"))
+                    .select(F.lit("_".join(map(str, new))).alias("_pid"),
+                            F.col("a.s").alias("s"),
+                            F.col("b.o2").alias("o"))
+                    .distinct()
+                )
+            allprod = parts[0]
+            for q in parts[1:]:
+                allprod = allprod.unionByName(q)
+            allprod = materialize(allprod)
+            counts = {r["_pid"]: r["cnt"] for r in
+                      allprod.groupBy("_pid")
+                      .agg(F.count("*").alias("cnt")).collect()}
+            for new in candidates:
+                pid = "_".join(map(str, new))
+                nnz = counts.get(pid, 0)
+                if min_sup <= nnz < max_nnz:
+                    prod = allprod.where(F.col("_pid") == pid) \
+                        .select("s", "o")
+                    paths[new] = prod
+                    supports[new] = nnz
+                    next_paths.append(new)
+                    # the reference registers BOTH the path and its
+                    # inverse-reversed twin as features, the twin's pairs
+                    # being the transpose of the computed product
+                    # (reference patybred.py:273-276). The no-backtrack
+                    # prune guarantees twin != new at this depth
+                    # (p1 == inv(p2) was skipped).
+                    twin = tuple(inv(i, R) for i in reversed(new))
+                    paths[twin] = prod.select(
+                        F.col("o").alias("s"), F.col("s").alias("o"))
+                    supports[twin] = nnz
+                    next_paths.append(twin)
         l_paths = next_paths
         depth += 1
 
@@ -484,12 +536,19 @@ def generate_negatives_pra(triples: DataFrame, idx: PathIndex) -> DataFrame:
         .groupBy("p", "s", "o")
         .agg(F.count("*").alias("score"))
     )
+    from kgspark.ordering import grouped_ordinal
+
     scored = scored.join(triples, ["s", "p", "o"], "left_anti")
-    w = Window.partitionBy("p", "s").orderBy(F.desc("score"), "o")
+    # range-partitioned per-(p, s) ordinal instead of
+    # Window.partitionBy("p", "s"): a hot subject's full candidate set
+    # (every object reachable by any feature path — O(out-neighborhood²)
+    # rows for a mega-repo) never lands on a single task; ranks reach
+    # PRA_MAX_RANK=100k so a pre-filter can't bound the group.
+    scored = scored.withColumn("_ns", -F.col("score"))
+    ranked = grouped_ordinal(scored, ["p", "s"], ["_ns", "o"], out="_rnk")
     pos_list = pra_positions()
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk").isin(pos_list))
+        ranked.where(F.col("_rnk").isin(pos_list))
         .select("s", "p", "o")
     )
 
@@ -760,42 +819,73 @@ def score_facts_dt(facts: DataFrame, idx: PathIndex, types: DataFrame,
 def patybred_dt_ranked(spark: SparkSession, sf_dir: str,
                        p_error: float = 0.05) -> DataFrame:
     """patybred_ranked with the decision-tree classifier (clf='dt')."""
-    from kgspark import pipeline, rank
-
-    g = pipeline.build_graph(spark, sf_dir)
-    noisy = materialize(pipeline.noisy_facts(g, p_error))
-    facts = noisy.select("s", "p", "o")
-    R = g.relations.count()
-    idx = enumerate_paths(facts, R)
-    models = fit_models_dt(facts, idx, g.types, g.n_entities)
-    scores = score_facts_dt(facts, idx, g.types, models)
-    scores = materialize(scores.withColumn("score", F.round("score", 6)))
-    ranked = rank.rank_facts(scores)
-    return ranked.join(noisy, ["s", "p", "o"]).select(
-        "s", "p", "o", "score", "rank", "is_error"
-    )
+    return pb_bundle(spark, sf_dir, p_error, clf="dt").ranked
 
 
 # ------------------------------------------------------------ end-to-end
 
 
+@dataclass
+class PBBundle:
+    """Shared PaTyBRED intermediates for one (sf, p_error, clf, kind)."""
+    noisy: DataFrame   # (s, p, o, is_error)
+    facts: DataFrame   # (s, p, o)
+    idx: PathIndex
+    models: DataFrame  # weight table (lgr) or leaf table (dt)
+    ranked: DataFrame  # (s, p, o, score, rank, is_error), materialized
+
+
+# Memoized per (session, sf, p_error[, clf], kind): the driver's
+# correctness pass runs ranked/metrics/corrections queries over the SAME
+# noisy graph + fit — without sharing, each query repeats the path BFS and
+# the classifier fit from scratch (the r2 driver ran out of budget at
+# query 50 for exactly this reason).
+_PB_BASE_MEMO: dict[tuple, tuple] = {}
+_PB_BUNDLE_MEMO: dict[tuple, PBBundle] = {}
+
+
+def _pb_base(spark: SparkSession, sf_dir: str, p_error: float, kind: int):
+    from kgspark import pipeline
+
+    key = (id(spark), sf_dir, p_error, kind)
+    if key not in _PB_BASE_MEMO:
+        g = pipeline.build_graph(spark, sf_dir)
+        noisy = materialize(pipeline.noisy_facts(g, p_error, kind))
+        facts = noisy.select("s", "p", "o")
+        idx = enumerate_paths(facts, g.relations.count())
+        _PB_BASE_MEMO[key] = (g, noisy, facts, idx)
+    return _PB_BASE_MEMO[key]
+
+
+def pb_bundle(spark: SparkSession, sf_dir: str, p_error: float = 0.05,
+              clf: str = "lgr", kind: int = 1) -> PBBundle:
+    """Noisy graph → fit → score → rank, memoized end-to-end."""
+    from kgspark import pipeline, rank
+
+    key = (id(spark), sf_dir, p_error, clf, kind)
+    hit = _PB_BUNDLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    g, noisy, facts, idx = _pb_base(spark, sf_dir, p_error, kind)
+    if clf == "lgr":
+        models = fit_models(facts, idx, g.types, g.n_entities)
+        scores = score_facts(facts, idx, g.types, models)
+    else:
+        models = fit_models_dt(facts, idx, g.types, g.n_entities)
+        scores = score_facts_dt(facts, idx, g.types, models)
+    scores = materialize(scores.withColumn("score", F.round("score", 6)))
+    ranked = materialize(
+        rank.rank_facts(scores).join(noisy, ["s", "p", "o"]).select(
+            "s", "p", "o", "score", "rank", "is_error"))
+    bundle = PBBundle(noisy, facts, idx, models, ranked)
+    _PB_BUNDLE_MEMO[key] = bundle
+    return bundle
+
+
 def patybred_ranked(spark: SparkSession, sf_dir: str,
                     p_error: float = 0.05) -> DataFrame:
     """Noisy graph → PaTyBRED score → ordinal rank (detect_errors analog)."""
-    from kgspark import pipeline, rank
-
-    g = pipeline.build_graph(spark, sf_dir)
-    noisy = materialize(pipeline.noisy_facts(g, p_error))
-    facts = noisy.select("s", "p", "o")
-    R = g.relations.count()
-    idx = enumerate_paths(facts, R)
-    models = fit_models(facts, idx, g.types, g.n_entities)
-    scores = score_facts(facts, idx, g.types, models)
-    scores = materialize(scores.withColumn("score", F.round("score", 6)))
-    ranked = rank.rank_facts(scores)
-    return ranked.join(noisy, ["s", "p", "o"]).select(
-        "s", "p", "o", "score", "rank", "is_error"
-    )
+    return pb_bundle(spark, sf_dir, p_error, clf="lgr").ranked
 
 
 def patybred_metrics(spark: SparkSession, sf_dir: str,
@@ -1046,7 +1136,11 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
                         clf: str, R: int = R_CONST, kind: int = 1):
     """Run the training SQL in a fresh DuckDB and fit the numpy model —
     no Spark involved. Returns the per-relation fit output rows."""
-    key = (hash(raw_cte), p_error, sf_dir, clf, R, kind)
+    from hashlib import sha256
+
+    # full-content digest, not hash(): a Python-hash collision between two
+    # raw CTEs in one process would silently return the wrong weights
+    key = (sha256(raw_cte.encode()).hexdigest(), p_error, sf_dir, clf, R, kind)
     if key in _PB_FIT_CACHE:
         return _PB_FIT_CACHE[key]
     import duckdb
@@ -1140,10 +1234,14 @@ scored AS (
 
 
 def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
-                      sf_dir: str = "/root/testdata/sf0.01",
+                      sf_dir: str | None = None,
                       clf: str = "lgr", R: int = R_CONST) -> str:
     """Exact oracle for patybred_ranked / patybred_dt_ranked; ``sf_dir``
-    must be the dataset the driver compares at (sf0.01 per contract)."""
+    must be the dataset the driver compares at (default: resolved from the
+    driver env via util.oracle_sf_dir)."""
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = sf_dir or oracle_sf_dir()
     return f"""
 WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R)}
 SELECT s, p, o, round(score, 6) AS score,
@@ -1155,9 +1253,12 @@ FROM scored
 
 
 def metrics_oracle_sql(raw_cte: str, p_error: float = 0.05,
-                       sf_dir: str = "/root/testdata/sf0.01",
+                       sf_dir: str | None = None,
                        clf: str = "lgr", R: int = R_CONST) -> str:
     from kgspark import rank
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = sf_dir or oracle_sf_dir()
 
     flagged = (f"WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R)} "
                "SELECT s, p, o, round(score, 6) AS score, is_error FROM scored")

@@ -32,8 +32,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_BANDS = 6
-BAND_PLANES = 8
+BAND_PLANES = 8  # fixture-scale fallback; prefer auto_band_planes(N)
+TARGET_BUCKET = 2  # expected rows per (band, key) bucket
+MIN_PLANES, MAX_PLANES = 4, 30
 DIM = 64
+
+
+def auto_band_planes(n: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Scale-default plane count: R ≈ log2(N / target_bucket), clamped.
+
+    Expected bucket size per band is N / 2^R, so deriving R from the
+    corpus size keeps buckets O(near-dup group) at ANY corpus size — a
+    fixed R=8 would hand a naive caller 4M-row buckets at 10^9 vectors.
+    At the sf0.01 fixture (N=500) this yields exactly the historical
+    R=8, so oracle rows are unchanged. The count is metadata-cheap on
+    parquet sources.
+    """
+    import math
+
+    r = math.ceil(math.log2(max(2, n) / target_bucket))
+    return max(MIN_PLANES, min(MAX_PLANES, r))
+
+
+def _resolve_planes(emb: DataFrame, band_planes: int | None) -> int:
+    return auto_band_planes(emb.count()) if band_planes is None \
+        else band_planes
 
 
 def _py_phash32(key: str) -> int:
@@ -131,8 +154,13 @@ def lsh_candidates(emb: DataFrame, queries: DataFrame,
 
 
 def ann_lsh(emb: DataFrame, k: int = 5, query_mod: int = 25,
-            n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> DataFrame:
-    """Banded multi-probe LSH candidates → exact cosine re-rank → top-k."""
+            n_bands: int = N_BANDS,
+            band_planes: int | None = None) -> DataFrame:
+    """Banded multi-probe LSH candidates → exact cosine re-rank → top-k.
+
+    ``band_planes=None`` derives the per-band key width from the corpus
+    size (auto_band_planes) — the scale-safe default."""
+    band_planes = _resolve_planes(emb, band_planes)
     e = with_norm(emb)
     queries = emb.where(F.col("vec_id") % query_mod == 0) \
         .select(F.col("vec_id").alias("q_id"))
@@ -154,10 +182,11 @@ def ann_lsh(emb: DataFrame, k: int = 5, query_mod: int = 25,
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
                        n_bands: int = N_BANDS,
-                       band_planes: int = BAND_PLANES) -> DataFrame:
+                       band_planes: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) via the banded tables:
     left side probes (1-bit multi-probe), right side exact keys — the
     Hamming-≤1 candidate predicate is symmetric, so a<b loses nothing."""
+    band_planes = _resolve_planes(emb, band_planes)
     e = with_norm(emb)
     bk = lsh_buckets(emb, n_bands, band_planes)
     l = bk.select(
@@ -234,8 +263,25 @@ def lsh_buckets_sql(n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> s
             "SELECT vec_id, band, key FROM eb")
 
 
+def _oracle_planes(band_planes: int | None) -> int:
+    """Mirror of the Spark-side auto default for oracle SQL strings: read
+    the corpus size of the dataset the driver compares at (one DuckDB
+    parquet-metadata count)."""
+    if band_planes is not None:
+        return band_planes
+    import duckdb
+
+    from kgspark.util import oracle_sf_dir
+
+    n = duckdb.sql("SELECT count(*) FROM read_parquet("
+                   f"'{oracle_sf_dir()}/embeddings.parquet')").fetchone()[0]
+    return auto_band_planes(int(n))
+
+
 def ann_lsh_sql(k: int = 5, query_mod: int = 25,
-                n_bands: int = N_BANDS, band_planes: int = BAND_PLANES) -> str:
+                n_bands: int = N_BANDS,
+                band_planes: int | None = None) -> str:
+    band_planes = _oracle_planes(band_planes)
     d = _DOT.format(x="q.embedding", y="e.embedding")
     return f"""
 WITH {_norm_cte()}, {_buckets_cte(n_bands, band_planes)},
@@ -260,7 +306,8 @@ SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= {k}
 
 def embedding_near_dup_sql(threshold: float = 0.95,
                            n_bands: int = N_BANDS,
-                           band_planes: int = BAND_PLANES) -> str:
+                           band_planes: int | None = None) -> str:
+    band_planes = _oracle_planes(band_planes)
     d = _DOT.format(x="a.embedding", y="b.embedding")
     return f"""
 WITH {_norm_cte()}, {_buckets_cte(n_bands, band_planes)},

@@ -2,7 +2,23 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def oracle_sf_dir() -> str:
+    """Dataset dir the driver's oracle comparison runs at.
+
+    The Spark-free classifier fits embedded in oracle SQL (patybred,
+    corrections) must be fitted on the SAME dataset the driver compares
+    at — a hard-coded default silently embeds wrong-data weights at any
+    other scale factor. Honors the simdriver/driver env (SIM_SF), then an
+    explicit override, then the driver-contract default of sf0.01.
+    """
+    return os.environ.get(
+        "SIM_SF",
+        os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
 
 
 def materialize(df: DataFrame) -> DataFrame:

@@ -101,6 +101,35 @@ def test_ann_lsh_recall_floor(spark, emb):
     assert inter / brute.count() >= 0.45
 
 
+def test_ann_auto_planes_scale_default(spark, emb):
+    """band_planes=None derives R from the corpus size: identical to the
+    historical R=8 at the fixture, and growing with N so per-band buckets
+    stay bounded on a replicated (8x, perturbed) corpus where a fixed R=8
+    would let them grow linearly."""
+    assert simsearch.auto_band_planes(500) == 8  # fixture-identical
+    assert simsearch.auto_band_planes(4_000) == 11
+    assert simsearch.auto_band_planes(10**9) == 29
+    assert simsearch.auto_band_planes(10**12) == simsearch.MAX_PLANES
+
+    reps = spark.range(8).select(F.col("id").alias("_k"))
+    big = reps.join(F.broadcast(emb)).select(
+        (F.col("vec_id") + F.col("_k") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + (F.col("_k") * (i + 3) % 17).cast("float") * 0.05
+        ).alias("embedding"))
+    n = big.count()
+    r_auto = simsearch.auto_band_planes(n)
+    assert r_auto > 8
+
+    def max_bucket(r):
+        bk = simsearch.lsh_buckets(big, band_planes=r)
+        return bk.groupBy("band", "key").count() \
+            .agg(F.max("count")).first()[0]
+
+    assert max_bucket(r_auto) < max_bucket(8)
+
+
 def test_textstats_parity(spark, duck, docs):
     assert_df_equal(textstats.token_stats(docs),
                     duck.execute(textstats.token_stats_sql()))
