@@ -222,6 +222,45 @@ def _q_corrections_pb(spark: SparkSession, sf: str) -> DataFrame:
         min_score=CORR_MIN, min_score_gain=CORR_GAIN)
 
 
+# Reference acceptance gate (correct_errors.py:17-18): exercised
+# non-trivially on the RICH corpus (6-relation vocabulary — see
+# kgspark/synth.py _CONTENT_RICH) with kind-3 typo-confusion errors that
+# REPLACE the original fact, and the reference's multi-typed-object
+# replacement guard enforced.
+REF_MIN_SCORE = 0.75
+REF_GAIN = 1.5
+RICH_R = 6
+
+_RICH_RAW_CTE = None
+
+
+def _rich_raw() -> str:
+    global _RICH_RAW_CTE
+    if _RICH_RAW_CTE is None:
+        _RICH_RAW_CTE = extract.triples_raw_sql(
+            synth.repo_files_rich_sql("duckdb"))
+    return _RICH_RAW_CTE
+
+
+def _q_rich_triples(spark: SparkSession, sf: str) -> DataFrame:
+    return extract.extract_triples(synth.repo_files_rich(spark, sf))
+
+
+def _q_rich_patybred_ranked(spark: SparkSession, sf: str) -> DataFrame:
+    return patybred.pb_bundle(spark, sf, P_ERROR, clf="lgr", kind=3,
+                              variant="rich", replace=True).ranked
+
+
+def _q_corrections_ref_gate(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf, variant="rich")
+    b = patybred.pb_bundle(spark, sf, P_ERROR, clf="lgr", kind=3,
+                           variant="rich", replace=True)
+    return correct.correct_errors_patybred(
+        b.ranked, b.facts, g.types, g.entities, b.idx, b.models,
+        min_score=REF_MIN_SCORE, min_score_gain=REF_GAIN,
+        require_multitype=True)
+
+
 def _q_type_corrections(spark, sf):
     g = pipeline.build_graph(spark, sf)
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
@@ -390,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_metrics": _q_metrics,
         "kg_corrections": _q_corrections,
         "kg_corrections_pb": _q_corrections_pb,
+        "kg_rich_triples_raw": _q_rich_triples,
+        "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
+        "kg_corrections_ref_gate": _q_corrections_ref_gate,
         "kg_type_corrections": _q_type_corrections,
         "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
@@ -475,6 +517,13 @@ def oracle_sql() -> dict[str, str]:
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_corrections_pb": correct.corrections_pb_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+        "kg_rich_triples_raw": _rich_raw(),
+        "kg_rich_patybred_ranked": patybred.ranked_oracle_sql(
+            _rich_raw(), P_ERROR, R=RICH_R, kind=3, replace=True),
+        "kg_corrections_ref_gate": correct.corrections_pb_sql(
+            _rich_raw(), P_ERROR, min_score=REF_MIN_SCORE,
+            min_score_gain=REF_GAIN, R=RICH_R, replace=True,
+            require_multitype=True),
         "kg_type_corrections": correct.type_corrections_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_corrected_triples": correct.corrected_triples_sql(

@@ -86,16 +86,34 @@ def correct_errors(
     min_score_gain: float = MIN_GAIN,
     max_dist: int = MAX_DIST,
     conf: float = 0.95,
+    require_multitype: bool = False,
+    exclude: DataFrame | None = None,
 ) -> DataFrame:
     """→ (s, p, o, score, o_new, new_score, dist) accepted corrections.
 
     ``ranked`` = (s, p, o, score, rank, …) over the noisy graph (score
     ascending = most suspect first); ``facts`` = the noisy (s, p, o).
+
+    Reference-fidelity options (defaults preserve the demo-query
+    behavior, deviations documented):
+    * ``require_multitype=True`` — the reference only attempts object
+      replacement when the object has >1 type (correct_errors.py:110).
+    * ``exclude`` — facts (s, p, o) already repaired by a TYPE correction;
+      the reference skips entity replacement for those (the ``continue``
+      after a type flip is accepted, correct_errors.py:55-75). Pass
+      ``type_corrections(...)`` output to enforce the exclusivity.
     """
     from kgspark.scoring import domran_model, ot_dist
 
     n = int(ranked.count() * p)
     suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
+    if require_multitype:
+        multi = types.groupBy("e").agg(F.count("*").alias("_nt0")) \
+            .where(F.col("_nt0") >= 2).select(F.col("e").alias("o"))
+        suspects = suspects.join(multi, "o", "left_semi")
+    if exclude is not None:
+        suspects = suspects.join(exclude.select("s", "p", "o"),
+                                 ["s", "p", "o"], "left_anti")
 
     cands = name_candidates(entities, max_dist)
     cand = suspects.join(
@@ -161,6 +179,7 @@ def correct_errors_patybred(
     min_score_gain: float = MIN_GAIN,
     max_dist: int = MAX_DIST,
     conf: float = 0.95,
+    require_multitype: bool = False,
 ) -> DataFrame:
     """M7 with the PaTyBRED scorer — the configuration where confusion
     repair actually works: a typo-confused object has no path context for
@@ -170,12 +189,24 @@ def correct_errors_patybred(
     confusions — see correct_errors). Same candidate funnel; the re-score
     is patybred.score_facts over the candidate triples with the models
     fitted on the noisy graph (= the reference re-calling
-    ed.predict_proba, correct_errors.py:126-131)."""
+    ed.predict_proba, correct_errors.py:126-131).
+
+    ``require_multitype=True`` enforces the reference's object-replacement
+    guard — replacement is only attempted when the suspect's object
+    carries MORE THAN ONE type (``types[o].nnz > 1``,
+    correct_errors.py:110) — the reference default. The demo queries on
+    the 4-relation base corpus opt out (single-typed module/symbol
+    objects would otherwise leave nothing to correct; documented
+    deviation); the rich-corpus reference-gate query runs it on."""
     from kgspark import patybred
     from kgspark.scoring import domran_model
 
     n = int(ranked.count() * p)
     suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
+    if require_multitype:
+        multi = types.groupBy("e").agg(F.count("*").alias("_nt")) \
+            .where(F.col("_nt") >= 2).select(F.col("e").alias("o"))
+        suspects = suspects.join(multi, "o", "left_semi")
     cands = name_candidates(entities, max_dist)
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
@@ -369,16 +400,23 @@ def corrections_pb_sql(raw_cte: str, p_error: float = 0.05,
                        p: float = P_CORRECT, min_score: float = 0.1,
                        min_score_gain: float = MIN_GAIN,
                        conf: float = 0.95,
-                       sf_dir: str | None = None) -> str:
+                       sf_dir: str | None = None,
+                       R: int | None = None,
+                       replace: bool = False,
+                       require_multitype: bool = False) -> str:
     """Exact oracle for correct_errors_patybred on the kind-3 noisy graph:
     reuses the Spark-free PaTyBRED fit (weights embedded as VALUES in
     the ``wt``/``bs`` CTEs) and re-scores candidate triples with the same
-    feature joins the noisy facts were scored with."""
-    from kgspark.patybred import _pb_scored_sql
+    feature joins the noisy facts were scored with. ``R``/``replace``/
+    ``require_multitype`` mirror the Spark-side options (rich corpus,
+    original-removing injection, reference object guard)."""
+    from kgspark.patybred import R_CONST, _pb_scored_sql
     from kgspark.util import oracle_sf_dir
 
     chain = _pb_scored_sql(raw_cte, p_error, sf_dir or oracle_sf_dir(),
-                           "lgr", kind=3)
+                           "lgr", R=R or R_CONST, kind=3, replace=replace)
+    guard = ("\n    AND (SELECT count(*) FROM ty WHERE ty.e = rkd.o) >= 2"
+             if require_multitype else "")
     return f"""
 WITH {chain},
 flg AS (SELECT s, p, o, round(score, 6) AS score, is_error FROM scored),
@@ -388,7 +426,7 @@ rkd AS (
   FROM flg),
 susp AS (
   SELECT s, p, o, score FROM rkd
-  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT)),
+  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT){guard}),
 cran AS (
   SELECT p, t FROM (
     SELECT c.p, c.t,

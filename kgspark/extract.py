@@ -32,8 +32,15 @@ from pyspark.sql.types import ArrayType, StringType
 # Portable across Python re / Java regex / RE2 (DuckDB oracle).
 IMPORT_PATTERN = r"(?:^|\n)[ \t]*(?:import|from)[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"
 DEFINE_PATTERN = r"(?:^|\n)[ \t]*(?:def|class)[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+# file→file mention patterns (only produced by the RICH fixture content,
+# kgspark.synth._CONTENT_RICH — the base corpus contains no such lines, so
+# base-corpus extraction output is unchanged by these arms). The include
+# target is repo-relative, so the object entity is file:<own repo>/<path>.
+INCLUDE_PATTERN = r"(?:^|\n)[ \t]*include[ \t]+([A-Za-z0-9_./]+)"
+TESTEDBY_PATTERN = r"(?:^|\n)[ \t]*testedby[ \t]+([A-Za-z0-9_./]+)"
 
-PREDICATES = ("contains", "written_in", "imports", "defines")
+PREDICATES = ("contains", "written_in", "imports", "defines",
+              "includes", "tested_by")
 
 _import_re = re.compile(IMPORT_PATTERN)
 _define_re = re.compile(DEFINE_PATTERN)
@@ -92,7 +99,25 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataF
         .select("subj", F.lit("defines").alias("pred"), F.concat(F.lit("sym:"), F.col("m")).alias("obj"))
     )
 
-    return contains.unionByName(written_in).unionByName(imports).unionByName(defines).distinct()
+    # file→file mentions (JVM regexp — no Python worker boundary needed
+    # for a plain path token); repo-relative targets resolve to the
+    # mentioning file's own repo.
+    def _file_rel(pattern: str, pred: str) -> DataFrame:
+        arr = F.expr(f"regexp_extract_all(content, '{pattern}', 1)")
+        return (
+            repo_files.select("repo", fe.alias("subj"),
+                              F.explode(arr).alias("m"))
+            .select("subj", F.lit(pred).alias("pred"),
+                    F.concat(F.lit("file:"), F.col("repo"), F.lit("/"),
+                             F.col("m")).alias("obj"))
+        )
+
+    includes = _file_rel(INCLUDE_PATTERN, "includes")
+    tested_by = _file_rel(TESTEDBY_PATTERN, "tested_by")
+
+    return (contains.unionByName(written_in).unionByName(imports)
+            .unionByName(defines).unionByName(includes)
+            .unionByName(tested_by).distinct())
 
 
 # Default deny-list: mention analog of the reference's ontology-namespace
@@ -128,12 +153,22 @@ defs AS (
   SELECT f AS subj, 'defines' AS pred,
          'sym:' || unnest(regexp_extract_all(content, '{DEFINE_PATTERN}', 1)) AS obj
   FROM fe),
+incl AS (
+  SELECT f AS subj, 'includes' AS pred,
+         'file:' || repo || '/' || unnest(regexp_extract_all(content, '{INCLUDE_PATTERN}', 1)) AS obj
+  FROM fe),
+tstd AS (
+  SELECT f AS subj, 'tested_by' AS pred,
+         'file:' || repo || '/' || unnest(regexp_extract_all(content, '{TESTEDBY_PATTERN}', 1)) AS obj
+  FROM fe),
 uni AS (
   SELECT 'repo:' || repo AS subj, 'contains' AS pred, f AS obj FROM fe
   UNION ALL
   SELECT f, 'written_in', 'lang:' || lang FROM fe
   UNION ALL SELECT * FROM imp
-  UNION ALL SELECT * FROM defs)
+  UNION ALL SELECT * FROM defs
+  UNION ALL SELECT * FROM incl
+  UNION ALL SELECT * FROM tstd)
 SELECT DISTINCT subj, pred, obj FROM uni
 """
 

@@ -844,13 +844,14 @@ _PB_BASE_MEMO: dict[tuple, tuple] = {}
 _PB_BUNDLE_MEMO: dict[tuple, PBBundle] = {}
 
 
-def _pb_base(spark: SparkSession, sf_dir: str, p_error: float, kind: int):
+def _pb_base(spark: SparkSession, sf_dir: str, p_error: float, kind: int,
+             variant: str = "base", replace: bool = False):
     from kgspark import pipeline
 
-    key = (id(spark), sf_dir, p_error, kind)
+    key = (id(spark), sf_dir, p_error, kind, variant, replace)
     if key not in _PB_BASE_MEMO:
-        g = pipeline.build_graph(spark, sf_dir)
-        noisy = materialize(pipeline.noisy_facts(g, p_error, kind))
+        g = pipeline.build_graph(spark, sf_dir, variant=variant)
+        noisy = materialize(pipeline.noisy_facts(g, p_error, kind, replace))
         facts = noisy.select("s", "p", "o")
         idx = enumerate_paths(facts, g.relations.count())
         _PB_BASE_MEMO[key] = (g, noisy, facts, idx)
@@ -858,15 +859,17 @@ def _pb_base(spark: SparkSession, sf_dir: str, p_error: float, kind: int):
 
 
 def pb_bundle(spark: SparkSession, sf_dir: str, p_error: float = 0.05,
-              clf: str = "lgr", kind: int = 1) -> PBBundle:
+              clf: str = "lgr", kind: int = 1, variant: str = "base",
+              replace: bool = False) -> PBBundle:
     """Noisy graph → fit → score → rank, memoized end-to-end."""
     from kgspark import pipeline, rank
 
-    key = (id(spark), sf_dir, p_error, clf, kind)
+    key = (id(spark), sf_dir, p_error, clf, kind, variant, replace)
     hit = _PB_BUNDLE_MEMO.get(key)
     if hit is not None:
         return hit
-    g, noisy, facts, idx = _pb_base(spark, sf_dir, p_error, kind)
+    g, noisy, facts, idx = _pb_base(spark, sf_dir, p_error, kind,
+                                    variant, replace)
     if clf == "lgr":
         models = fit_models(facts, idx, g.types, g.n_entities)
         scores = score_facts(facts, idx, g.types, models)
@@ -1066,10 +1069,11 @@ negs AS (
 
 
 def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
-                   kind: int = 1) -> str:
+                   kind: int = 1, replace: bool = False) -> str:
     """kg → kind-1/3 errors → noisy graph → paths/memb over the NOISY
     graph (patybred_ranked enumerates paths on the error-injected facts)
-    → nfl (features of every noisy fact)."""
+    → nfl (features of every noisy fact). ``replace`` mirrors
+    pipeline.noisy_facts(replace=True): corrupted originals are removed."""
     from kgspark import errorsgen
     from kgspark.typesys import kg_ctes
 
@@ -1083,11 +1087,15 @@ def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
         err = ("ne AS (SELECT count(*) AS n FROM ent),"
                f"{name_candidates_ctes()},"
                f"{errorsgen.errors_kind3_ctes(p_error, with_cands=False)}")
+    keep = ("""
+  WHERE NOT EXISTS (SELECT 1 FROM errfin
+                    WHERE errfin.orig_s = enc.s AND errfin.p = enc.p
+                      AND errfin.orig_o = enc.o)""" if replace else "")
     return f"""
 {kg_ctes(raw_cte)},
 {err},
 noisy AS (
-  SELECT s, p, o, FALSE AS is_error FROM enc
+  SELECT s, p, o, FALSE AS is_error FROM enc{keep}
   UNION ALL
   SELECT s, p, o, TRUE AS is_error FROM errfin),
 noisyf AS (SELECT s, p, o FROM noisy),
@@ -1107,10 +1115,10 @@ nfl AS (
 
 
 def _pb_train_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
-                   kind: int = 1) -> str:
+                   kind: int = 1, replace: bool = False) -> str:
     """…plus training rows (pos ∪ negs over noisyf) and their features."""
     return f"""
-{_pb_noisy_ctes(raw_cte, p_error, R, kind)},
+{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace)},
 {negatives_ctes(R, rel='noisyf', with_ne=False)},
 train AS (
   SELECT s, p, o, 1 AS label FROM pos
@@ -1133,14 +1141,16 @@ _PB_FIT_CACHE: dict[tuple, pd.DataFrame | None] = {}
 
 
 def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
-                        clf: str, R: int = R_CONST, kind: int = 1):
+                        clf: str, R: int = R_CONST, kind: int = 1,
+                        replace: bool = False):
     """Run the training SQL in a fresh DuckDB and fit the numpy model —
     no Spark involved. Returns the per-relation fit output rows."""
     from hashlib import sha256
 
     # full-content digest, not hash(): a Python-hash collision between two
     # raw CTEs in one process would silently return the wrong weights
-    key = (sha256(raw_cte.encode()).hexdigest(), p_error, sf_dir, clf, R, kind)
+    key = (sha256(raw_cte.encode()).hexdigest(), p_error, sf_dir, clf, R,
+           kind, replace)
     if key in _PB_FIT_CACHE:
         return _PB_FIT_CACHE[key]
     import duckdb
@@ -1150,7 +1160,7 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
                 f"'{sf_dir}/documents.parquet')")
-    base = _pb_train_ctes(raw_cte, p_error, R, kind)
+    base = _pb_train_ctes(raw_cte, p_error, R, kind, replace)
     train = con.execute(materialize_ctes(
         f"WITH {base} SELECT s, p, o, label FROM train")).df()
     tf = con.execute(materialize_ctes(
@@ -1176,9 +1186,9 @@ def _sql_num(x: float) -> str:
 
 def _pb_scored_sql(raw_cte: str, p_error: float, sf_dir: str,
                    clf: str = "lgr", R: int = R_CONST,
-                   kind: int = 1) -> str:
+                   kind: int = 1, replace: bool = False) -> str:
     """Full oracle chain ending in ``scored`` (s, p, o, score, is_error)."""
-    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R, kind)
+    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R, kind, replace)
     if clf == "lgr":
         if w is None or len(w) == 0:
             vals = "(0, '_none', CAST('0.0' AS DOUBLE))"
@@ -1230,12 +1240,13 @@ scored AS (
   SELECT ffs.s, ffs.p, ffs.o, coalesce(h.prob, 0.0) AS score, ffs.is_error
   FROM ffs LEFT JOIN hits h ON h.s = ffs.s AND h.p = ffs.p AND h.o = ffs.o)
 """ % vals
-    return f"{_pb_noisy_ctes(raw_cte, p_error, R, kind)},\n{model_ctes}"
+    return f"{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace)},\n{model_ctes}"
 
 
 def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
                       sf_dir: str | None = None,
-                      clf: str = "lgr", R: int = R_CONST) -> str:
+                      clf: str = "lgr", R: int = R_CONST,
+                      kind: int = 1, replace: bool = False) -> str:
     """Exact oracle for patybred_ranked / patybred_dt_ranked; ``sf_dir``
     must be the dataset the driver compares at (default: resolved from the
     driver env via util.oracle_sf_dir)."""
@@ -1243,7 +1254,7 @@ def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
 
     sf_dir = sf_dir or oracle_sf_dir()
     return f"""
-WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R)}
+WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R, kind, replace)}
 SELECT s, p, o, round(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY round(score, 6), s, p, o) AS BIGINT)
          AS rank,

@@ -38,21 +38,28 @@ class Graph:
 _GRAPH_MEMO: dict[tuple[int, str], Graph] = {}
 
 
-def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
-    """Construct (and per-session memoize) the full KG from a testdata dir."""
-    key = (id(spark), sf_dir)
+def build_graph(spark: SparkSession, sf_dir: str, cache: bool = True,
+                variant: str = "base") -> Graph:
+    """Construct (and per-session memoize) the full KG from a testdata dir.
+
+    ``variant='rich'`` builds from the 6-relation rich corpus
+    (synth.repo_files_rich) used by the reference-gate correction queries.
+    """
+    key = (id(spark), sf_dir, variant)
     if cache and key in _GRAPH_MEMO:
         return _GRAPH_MEMO[key]
-    g = _build_graph(spark, sf_dir, cache)
+    g = _build_graph(spark, sf_dir, cache, variant)
     if cache:
         _GRAPH_MEMO[key] = g
     return g
 
 
-def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
+def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True,
+                 variant: str = "base") -> Graph:
     from kgspark import link
 
-    rf = synth.repo_files(spark, sf_dir)
+    rf = (synth.repo_files_rich(spark, sf_dir) if variant == "rich"
+          else synth.repo_files(spark, sf_dir))
     tr_raw = extract.extract_triples(rf)
     if cache:
         tr_raw = materialize(tr_raw)
@@ -79,15 +86,29 @@ def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True) -> Graph:
 _FLAGSHIP_MEMO: dict[tuple, DataFrame] = {}
 
 
-def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1) -> DataFrame:
-    """True facts ∪ injected errors with an ``is_error`` flag (U6)."""
+def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1,
+                replace: bool = False) -> DataFrame:
+    """True facts ∪ injected errors with an ``is_error`` flag (U6).
+
+    ``replace=True`` removes each corrupted fact's ORIGINAL from the
+    graph (the realistic typo-confusion regime the reference's repair
+    targets: the wrong triple is present, the right one is absent —
+    /root/reference/correct_errors.py:99-141). Default keeps originals
+    (additive injection, the generate_errors.py evaluation shape).
+    """
     if kind == 1:
         errs = errorsgen.inject_errors_kind1(g.triples, g.n_entities, p_error)
     elif kind == 2:
         errs = errorsgen.inject_errors_kind2(g.triples, g.types, p_error)
     else:
         errs = errorsgen.inject_errors_kind3(g.triples, g.entities, p_error)
-    return g.triples.select(
+    base = g.triples
+    if replace:
+        base = base.join(
+            errs.select(F.col("orig_s").alias("s"), "p",
+                        F.col("orig_o").alias("o")),
+            ["s", "p", "o"], "left_anti")
+    return base.select(
         "s", "p", "o", F.lit(False).alias("is_error")
     ).unionByName(errs.select("s", "p", "o", F.lit(True).alias("is_error")))
 

@@ -78,16 +78,52 @@ FROM {DOCS}
 """
 
 
-def repo_files_sql(dialect: str, docs_rel: str = "documents") -> str:
-    """The synthesis query in the given dialect ('spark' | 'duckdb')."""
+# ------------------------------------------------------------ rich variant
+#
+# The 4-relation star vocabulary makes per-relation PaTyBRED scores nearly
+# constant: no depth-≤2 path connects a fact's endpoints besides its own
+# relation, so only type features remain and the reference's correction
+# acceptance gate (new/old ≥ 1.5 AND new > 0.75,
+# /root/reference/correct_errors.py:126-141) never fires non-trivially.
+# The RICH corpus adds two mutually-correlated file→file relations —
+# every file `includes` and is `testedby` its sibling (doc_id xor 1) —
+# so each `includes` fact carries a discriminative parallel-edge path
+# feature (`tested_by` connecting the same endpoints). A typo-confused
+# object loses that path, scores low, and the true sibling re-scores high:
+# exactly the regime where the published gate accepts. Objects are files
+# (kind:file + lang:* — ≥2 types), satisfying the reference's
+# multi-typed-object replacement guard (correct_errors.py:99-112).
+# The sibling expression (doc_id + 1 - 2*(doc_id % 2)) is dialect-portable.
+
+_X = "(doc_id + 1 - 2*(doc_id % 2))"
+_EXTX = _EXT.replace("doc_id", _X)
+
+_CONTENT_RICH = (
+    _CONTENT + " || chr(10) || "
+    "'include src/m' || CAST(" + _X + " AS {STR}) || " + _EXTX + " || chr(10) || "
+    "'testedby src/m' || CAST(" + _X + " AS {STR}) || " + _EXTX
+)
+
+
+def _render(dialect: str, docs_rel: str, content: str) -> str:
     if dialect == "duckdb":
         str_t, q = "VARCHAR", '"'
     else:
         str_t, q = "STRING", "`"
     sql = _TEMPLATE.format(
-        STR="{STR}", EXT=_EXT, LANG=_LANG, CONTENT=_CONTENT, Q=q, DOCS=docs_rel
+        STR="{STR}", EXT=_EXT, LANG=_LANG, CONTENT=content, Q=q, DOCS=docs_rel
     )
     return sql.replace("{STR}", str_t)
+
+
+def repo_files_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """The synthesis query in the given dialect ('spark' | 'duckdb')."""
+    return _render(dialect, docs_rel, _CONTENT)
+
+
+def repo_files_rich_sql(dialect: str, docs_rel: str = "documents") -> str:
+    """Rich-vocabulary synthesis (adds include/testedby sibling lines)."""
+    return _render(dialect, docs_rel, _CONTENT_RICH)
 
 
 def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,6 +131,13 @@ def repo_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs.createOrReplaceTempView("kgspark_documents")
     return spark.sql(repo_files_sql("spark", "kgspark_documents"))
+
+
+def repo_files_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-vocabulary repo_files (6-relation corpus; see _CONTENT_RICH)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("kgspark_documents")
+    return spark.sql(repo_files_rich_sql("spark", "kgspark_documents"))
 
 
 def repo_files_scaled(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:

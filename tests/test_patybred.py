@@ -312,3 +312,34 @@ def test_dt_shacl_compiles_suspect_leaves(spark, graph, idx):
     import re
     for m in re.finditer(r":(\w+)Shape a sh:NodeShape", doc):
         assert m.group(1) in rels
+
+
+def test_reference_gate_corrections_recover_true_objects(spark):
+    """The reference acceptance gate (min_score=0.75, gain=1.5,
+    /root/reference/correct_errors.py:17-18,126-141) must fire
+    non-trivially on the rich corpus: kind-3 typo confusions REPLACE the
+    original fact, the multi-typed-object guard is enforced, and every
+    accepted correction that lands on an injected error restores the
+    exact original object."""
+    import __spark_entry__ as entry
+    from kgspark import correct, errorsgen
+    from tests.conftest import SF_SMALL
+
+    g = pipeline.build_graph(spark, SF_SMALL, variant="rich")
+    b = patybred.pb_bundle(spark, SF_SMALL, entry.P_ERROR, clf="lgr",
+                           kind=3, variant="rich", replace=True)
+    corr = correct.correct_errors_patybred(
+        b.ranked, b.facts, g.types, g.entities, b.idx, b.models,
+        min_score=entry.REF_MIN_SCORE, min_score_gain=entry.REF_GAIN,
+        require_multitype=True)
+    errs = errorsgen.inject_errors_kind3(g.triples, g.entities, entry.P_ERROR)
+    rows = corr.join(errs.select("s", "p", "o", "orig_o"),
+                     ["s", "p", "o"], "left").collect()
+    assert len(rows) > 0
+    hits = [r for r in rows if r["orig_o"] is not None]
+    assert len(hits) > 0
+    assert all(r["o_new"] == r["orig_o"] for r in hits)
+    # the gate itself did real work: accepted scores clear both bars
+    for r in rows:
+        assert r["new_score"] > entry.REF_MIN_SCORE
+        assert r["new_score"] >= entry.REF_GAIN * r["score"] or r["score"] == 0
