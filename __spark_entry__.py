@@ -174,6 +174,17 @@ def _q_patybred_dt_ranked(spark: SparkSession, sf: str) -> DataFrame:
     return patybred.patybred_dt_ranked(spark, sf, P_ERROR)
 
 
+# M2 feature selection: iorels=True multiplies the feature space ~4× per
+# path, pushing every relation past FS_MAX so the chi2 top-k actually
+# triggers (reference /root/reference/patybred.py:382-400).
+FS_MAX = 30
+
+
+def _q_patybred_ranked_fs(spark: SparkSession, sf: str) -> DataFrame:
+    return patybred.pb_bundle(spark, sf, P_ERROR, clf="lgr",
+                              iorels=True, max_feats=FS_MAX).ranked
+
+
 def _q_flagship(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_ranked(spark, sf, P_ERROR)
 
@@ -262,11 +273,35 @@ def _q_corrections_ref_gate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_type_corrections(spark, sf):
+    """M6 with the LEARNED per-type predictor (fit_type_models) gating
+    which flips are tested — the reference's tp.predict mechanism."""
     g = pipeline.build_graph(spark, sf)
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
+    facts = ranked.select("s", "p", "o")
+    tm = correct.fit_type_models(facts, g.types)
     return correct.type_corrections(
-        ranked, ranked.select("s", "p", "o"), g.types,
-        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+        ranked, facts, g.types,
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN, type_models=tm)
+
+
+def _q_type_corrections_learned(spark, sf):
+    """M6 in the type-INCOMPLETENESS regime: clean facts, a fraction of
+    type assertions deterministically dropped; the learned per-type
+    predictor detects the missing types from incident-relation features
+    and the gate (gain=1.5) accepts the restoring flips."""
+    from kgspark import rank, scoring
+
+    g = pipeline.build_graph(spark, sf)
+    tyx = pipeline.materialize(correct.inject_type_errors(g.types))
+    facts = g.triples
+    scores = pipeline.materialize(
+        scoring.sdvalidate_scores(facts, tyx)
+        .withColumn("score", F.round("score", 6)))
+    ranked = rank.rank_facts(scores)
+    tm = correct.fit_type_models(facts, tyx)
+    return correct.type_corrections(
+        ranked, facts, tyx, min_score=CORR_MIN, min_score_gain=REF_GAIN,
+        type_models=tm)
 
 
 def _q_corrected_triples(spark, sf):
@@ -424,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_ranked": _q_patybred_ranked,
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
+        "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
         "kg_flagship_ranked": _q_flagship,
         "kg_flagship_ranked_avg": _q_flagship_avg,
         "kg_eval_metrics": _q_metrics,
@@ -433,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
         "kg_corrections_ref_gate": _q_corrections_ref_gate,
         "kg_type_corrections": _q_type_corrections,
+        "kg_type_corrections_learned": _q_type_corrections_learned,
         "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
         "kg_domran_materialize": _q_domran_materialize,
@@ -509,6 +546,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_patybred_metrics": patybred.metrics_oracle_sql(raw, P_ERROR),
         "kg_patybred_dt_ranked": patybred.ranked_oracle_sql(
             raw, P_ERROR, clf="dt"),
+        "kg_patybred_ranked_fs": patybred.ranked_oracle_sql(
+            raw, P_ERROR, clf="lgr", iorels=True, max_feats=FS_MAX),
         "kg_flagship_ranked": pipeline.flagship_ranked_sql(raw, P_ERROR),
         "kg_flagship_ranked_avg": pipeline.flagship_ranked_avg_sql(
             raw, P_ERROR),
@@ -525,7 +564,10 @@ def oracle_sql() -> dict[str, str]:
             min_score_gain=REF_GAIN, R=RICH_R, replace=True,
             require_multitype=True),
         "kg_type_corrections": correct.type_corrections_sql(
-            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN,
+            learned=True),
+        "kg_type_corrections_learned": correct.type_corrections_learned_sql(
+            raw, min_score=CORR_MIN, min_score_gain=REF_GAIN),
         "kg_corrected_triples": correct.corrected_triples_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_types_closure": hierarchy.types_closure_sql(raw),

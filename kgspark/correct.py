@@ -239,6 +239,93 @@ def correct_errors_patybred(
     )
 
 
+# ------------------------------------------- per-type predictor (M6)
+
+TP_CAP = 2500
+TP_NEG_SAMPLE = 3  # ×cap global entity sample feeding per-type negatives
+
+
+def entity_features(facts: DataFrame) -> DataFrame:
+    """(e, feat) boolean incident-relation features — ``out_<p>`` (entity
+    appears as subject of relation p) / ``in_<p>`` (as object). The
+    deterministic stand-in for the reference's external ``tpdata`` feature
+    matrix (/root/reference/correct_errors.py:28-33)."""
+    out_ = facts.select(F.col("s").alias("e"),
+                        F.concat(F.lit("out_"), F.col("p")).alias("feat"))
+    in_ = facts.select(F.col("o").alias("e"),
+                       F.concat(F.lit("in_"), F.col("p")).alias("feat"))
+    return out_.unionByName(in_).distinct()
+
+
+def fit_type_models(facts: DataFrame, types: DataFrame,
+                    cap: int = TP_CAP) -> DataFrame:
+    """Per-TYPE logistic models (t, feat, w) over incident-relation
+    features — the learned analog of the reference's external type
+    predictor (``tp.predict``, correct_errors.py:41-73), trained with the
+    same deterministic machinery as the per-relation PaTyBRED fit:
+    positives = entities of the type (hash-capped), negatives = a
+    hash-ordered global entity sample minus the type's members
+    (per-type capped); fit = kgspark.patybred._fit_group."""
+    from kgspark.hashing import puniform
+    from kgspark.ordering import global_ordinal, grouped_ordinal
+    from kgspark.patybred import _fit_group
+    from kgspark.util import materialize
+
+    ef = entity_features(facts)
+    uni = facts.select(F.col("s").alias("e")).unionByName(
+        facts.select(F.col("o").alias("e"))).distinct()
+    pos = types.withColumn("_u", puniform(["e", "t"], "tppos"))
+    pos = grouped_ordinal(pos, ["t"], ["_u", "e"], out="_rn") \
+        .where(F.col("_rn") <= cap).select("e", "t")
+    samp = uni.withColumn("_u", puniform(["e"], "tpneg"))
+    samp = global_ordinal(samp, ["_u", "e"], out="_rn") \
+        .where(F.col("_rn") <= TP_NEG_SAMPLE * cap).select("e")
+    negc = samp.crossJoin(types.select("t").distinct()) \
+        .join(types, ["e", "t"], "left_anti") \
+        .withColumn("_u", puniform(["e", "t"], "tpnegc"))
+    neg = grouped_ordinal(negc, ["t"], ["_u", "e"], out="_rn") \
+        .where(F.col("_rn") <= cap).select("e", "t")
+    train = pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0)))
+    rows = train.join(
+        ef.groupBy("e").agg(F.collect_set("feat").alias("feats")),
+        "e", "left",
+    ).select(F.col("t").alias("p"), F.col("e").alias("s"),
+             F.lit(0).cast("long").alias("o"), "label", "feats")
+    return materialize(
+        rows.groupBy("p").applyInPandas(
+            # 1-arg wrapper: a 2-param function would be called as
+            # (key, pdf) by applyInPandas
+            lambda pdf: _fit_group(pdf), "p int, feat string, w double")
+    ).select(F.col("p").alias("t"), "feat", "w")
+
+
+def predict_type_pairs(pairs: DataFrame, facts: DataFrame,
+                       models: DataFrame) -> DataFrame:
+    """(e, t) pairs → (e, t, pred): sigmoid(bias_t + Σ active weights)
+    rounded to 6dp > 0.5 (rounding keeps the boolean identical across
+    engines despite summation order). Types without a model (single-class
+    training) fall back to pred=TRUE — the unconditional-flip behavior."""
+    ef = entity_features(facts)
+    w = models.where(F.col("feat") != "_bias")
+    b = models.where(F.col("feat") == "_bias").select(
+        "t", F.col("w").alias("_b"))
+    dots = (
+        pairs.join(ef, "e")
+        .join(F.broadcast(w), ["t", "feat"])
+        .groupBy("e", "t").agg(F.sum("w").alias("_dot"))
+    )
+    z = F.coalesce("_dot", F.lit(0.0)) + F.col("_b")
+    return (
+        pairs.join(dots, ["e", "t"], "left")
+        .join(F.broadcast(b), "t", "left")
+        .select("e", "t",
+                F.when(F.col("_b").isNull(), F.lit(True))
+                .otherwise(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                           > 0.5).alias("pred"))
+    )
+
+
 def type_corrections(
     ranked: DataFrame,
     facts: DataFrame,
@@ -247,6 +334,7 @@ def type_corrections(
     min_score: float = MIN_SCORE,
     min_score_gain: float = MIN_GAIN,
     conf: float = 0.95,
+    type_models: DataFrame | None = None,
 ) -> DataFrame:
     """M6 type-prediction correction → (s, p, o, score, t_new, new_score).
 
@@ -256,15 +344,18 @@ def type_corrections(
     the same gain/min gates; if so, report a TYPE correction for the
     entity and skip entity replacement.
 
-    Deterministic Spark analog: the type predictor is the induced-range
-    model itself (scoring.domran_model side='o' — it predicts exactly the
-    relation's range type, the reference's ``relevant_o_types``), so the
-    tested flip is "object gains the missing range type". SDValidate's
-    score decomposes as dot/(sqrt(nt)·‖dist_p‖), so the flipped score is
-    closed-form columnar arithmetic — no re-materialization:
-    (dot + dist_p[t_ran]) / (sqrt(nt+1)·‖dist_p‖). The reference's
-    learned per-type classifier (an external tpdata model) is a
-    documented simplification here.
+    The relevant o-type is the relation's induced range
+    (scoring.domran_model side='o' — the reference's
+    ``relevant_o_types``); the tested flip is "object gains the missing
+    range type". SDValidate's score decomposes as dot/(sqrt(nt)·‖dist_p‖),
+    so the flipped score is closed-form columnar arithmetic — no
+    re-materialization: (dot + dist_p[t_ran]) / (sqrt(nt+1)·‖dist_p‖).
+
+    ``type_models`` = per-type learned predictor weights
+    (fit_type_models); when given, the flip is only tested where the
+    predictor PREDICTS the object should carry the type — the reference's
+    mechanism (flip to the predictor's output, not unconditionally).
+    None = unconditional flip (the pre-predictor simplification).
     """
     from kgspark.scoring import domran_model, ot_dist
 
@@ -278,17 +369,29 @@ def type_corrections(
     cand = cand.join(
         types.select(F.col("e").alias("o"), F.col("t").alias("t_new")),
         ["o", "t_new"], "left_anti")
+    if type_models is not None:
+        pairs = cand.select(F.col("o").alias("e"),
+                            F.col("t_new").alias("t")).distinct()
+        pred = predict_type_pairs(pairs, facts, type_models)
+        cand = cand.join(
+            pred.where("pred").select(F.col("e").alias("o"),
+                                      F.col("t").alias("t_new")),
+            ["o", "t_new"], "left_semi")
 
     dist = ot_dist(facts, types, "o")
     norms = dist.groupBy("p").agg(
         F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("_nrm"))
+    # LEFT join: a candidate object that lost ALL its type rows
+    # (inject_type_errors regime) still re-scores — the flip is then
+    # tested from the empty vector (dot=0, nt=0), mirroring the 0.0
+    # score sdvalidate_scores gave the fact.
     parts = (
         cand.select("p", "o").distinct()
-        .join(types.withColumnRenamed("e", "o"), "o")
+        .join(types.withColumnRenamed("e", "o"), "o", "left")
         .join(F.broadcast(dist), ["p", "t"], "left")
         .groupBy("p", "o")
         .agg(F.sum(F.coalesce("dist", F.lit(0.0))).alias("_dot"),
-             F.count("*").alias("_nt"))
+             F.count("t").alias("_nt"))
     )
     cand = cand.join(parts, ["p", "o"]) \
         .join(F.broadcast(dist.withColumnRenamed("t", "t_new")
@@ -320,10 +423,171 @@ def apply_corrections(facts: DataFrame, corrections: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- SQL (oracle)
 
 
+P_TYERR = 0.05
+
+
+def inject_type_errors(types: DataFrame, p_err: float = P_TYERR) -> DataFrame:
+    """Deterministically DROP a fraction of type assertions — the
+    type-incompleteness regime the reference's type predictor repairs
+    (its tp model predicts types the KG record is missing,
+    /root/reference/correct_errors.py:41-73)."""
+    from kgspark.hashing import puniform
+
+    return types.where(puniform(["e", "t"], "tyerr") >= p_err)
+
+
+def degraded_kg_ctes(raw_cte: str, p_ty: float = P_TYERR) -> str:
+    """kg_ctes with the ``ty`` CTE replaced by its deterministically
+    degraded variant (inject_type_errors mirror); the full table remains
+    available as ``tyfull``."""
+    from kgspark.hashing import sql_puniform
+    from kgspark.typesys import kg_ctes
+
+    kg = kg_ctes(raw_cte)
+    old = "ty AS (SELECT ta.e, tn.t FROM ta JOIN tn ON tn.name = ta.t_name)"
+    assert old in kg, "kg_ctes ty definition changed; update degraded_kg_ctes"
+    key = ("concat_ws('|', 'tyerr', CAST(e AS VARCHAR), "
+           "CAST(t AS VARCHAR))")
+    new = ("tyfull AS (SELECT ta.e, tn.t FROM ta JOIN tn "
+           "ON tn.name = ta.t_name),\n"
+           f"ty AS (SELECT e, t FROM tyfull "
+           f"WHERE {sql_puniform(key, 'duckdb')} >= {p_ty})")
+    return kg.replace(old, new)
+
+
+_TP_FIT_CACHE: dict[tuple, "object"] = {}
+
+
+def _phash32_py(key: str) -> int:
+    from hashlib import md5
+
+    return int(md5(key.encode()).hexdigest()[:8], 16)
+
+
+def _tp_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
+                        cap: int = TP_CAP, p_ty: float | None = None):
+    """Reproduce fit_type_models without Spark: training rows come from
+    the noisy-graph SQL (same hash sampling as the Spark side, shared
+    md5), the fit is kgspark.patybred._fit_group. Returns (t, feat, w)
+    rows to embed as VALUES in the oracle SQL. ``p_ty`` switches to the
+    clean-facts / degraded-types scope (inject_type_errors regime)."""
+    from hashlib import sha256
+
+    import pandas as pd
+
+    key = (sha256(raw_cte.encode()).hexdigest(), p_error, sf_dir, cap, p_ty)
+    if key in _TP_FIT_CACHE:
+        return _TP_FIT_CACHE[key]
+    import duckdb
+
+    from kgspark import pipeline
+    from kgspark.dialect import materialize_ctes
+    from kgspark.patybred import _fit_group
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    if p_ty is None:
+        scope = f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}"
+        facts_q = f"{scope} SELECT s, p, o FROM noisyf"
+    else:
+        scope = f"WITH {degraded_kg_ctes(raw_cte, p_ty)}"
+        facts_q = f"{scope} SELECT s, p, o FROM enc"
+    facts = con.execute(materialize_ctes(facts_q)).df()
+    ty = con.execute(materialize_ctes(
+        f"{scope} SELECT e, t FROM ty")).df()
+    con.close()
+
+    feats: dict[int, set[str]] = {}
+    for r in facts.itertuples():
+        feats.setdefault(int(r.s), set()).add(f"out_{int(r.p)}")
+        feats.setdefault(int(r.o), set()).add(f"in_{int(r.p)}")
+
+    tset: dict[int, set[int]] = {}
+    for r in ty.itertuples():
+        tset.setdefault(int(r.t), set()).add(int(r.e))
+    all_t = sorted(tset)
+
+    def u(salt: str, *vals) -> float:
+        k = "|".join([salt] + [str(v) for v in vals])
+        return _phash32_py(k) / 2**32
+
+    rows = []
+    # positives: per type, hash-capped
+    for t in all_t:
+        mem = sorted(tset[t], key=lambda e: (u("tppos", e, t), e))[:cap]
+        rows += [(t, e, 1) for e in mem]
+    # negatives: global hash-ordered entity sample minus members, per-type cap
+    uni = sorted(feats)
+    samp = sorted(uni, key=lambda e: (u("tpneg", e), e))[:TP_NEG_SAMPLE * cap]
+    for t in all_t:
+        negs = [e for e in samp if e not in tset[t]]
+        negs = sorted(negs, key=lambda e: (u("tpnegc", e, t), e))[:cap]
+        rows += [(t, e, 0) for e in negs]
+
+    train = pd.DataFrame(rows, columns=["p", "s", "label"])
+    train["o"] = 0
+    train["feats"] = [sorted(feats.get(e, ())) for e in train["s"]]
+    outs = [_fit_group(grp) for _, grp in train.groupby("p", sort=True)]
+    res = pd.concat(outs, ignore_index=True) if outs else None
+    _TP_FIT_CACHE[key] = res
+    return res
+
+
+def _tp_pred_ctes(weights) -> str:
+    """Prediction CTEs (after a scope providing ``noisyf`` and ``tcand0``)
+    ending in ``tpred`` (e, tt, pred) — mirror of predict_type_pairs."""
+    if weights is None or len(weights) == 0:
+        vals = "(0, '_none', CAST('0.0' AS DOUBLE))"
+    else:
+        from kgspark.patybred import _sql_num
+
+        vals = ", ".join(
+            f"({int(r.p)}, '{r.feat}', {_sql_num(r.w)})"
+            for r in weights.itertuples())
+    return f"""
+tpw(tt, tfeat, tw) AS (VALUES {vals}),
+tpb AS (SELECT tt, tw FROM tpw WHERE tfeat = '_bias'),
+tpwf AS (SELECT tt, tfeat, tw FROM tpw WHERE tfeat <> '_bias'),
+tef AS (SELECT DISTINCT e, feat FROM (
+  SELECT s AS e, 'out_' || CAST(p AS VARCHAR) AS feat FROM noisyf
+  UNION ALL
+  SELECT o AS e, 'in_' || CAST(p AS VARCHAR) FROM noisyf)),
+tpq AS (SELECT DISTINCT o AS e, t_new AS tt FROM tcand0),
+tpd AS (SELECT tpq.e, tpq.tt, sum(tpwf.tw) AS dot
+        FROM tpq JOIN tef ON tef.e = tpq.e
+        JOIN tpwf ON tpwf.tt = tpq.tt AND tpwf.tfeat = tef.feat
+        GROUP BY tpq.e, tpq.tt),
+tpred AS (
+  SELECT tpq.e, tpq.tt,
+         CASE WHEN tpb.tt IS NULL THEN TRUE
+              ELSE round(1.0 / (1.0 + exp(-(coalesce(tpd.dot, 0.0)
+                                            + tpb.tw))), 6) > 0.5 END AS pred
+  FROM tpq
+  LEFT JOIN tpd ON tpd.e = tpq.e AND tpd.tt = tpq.tt
+  LEFT JOIN tpb ON tpb.tt = tpq.tt)
+"""
+
+
 def type_corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
                           min_score_gain: float = MIN_GAIN,
-                          conf: float = 0.95) -> str:
-    """CTE chain after the ``flg``/``noisyf``/``ty`` scope → ``tcorr``."""
+                          conf: float = 0.95,
+                          tp_weights=None) -> str:
+    """CTE chain after the ``flg``/``noisyf``/``ty`` scope → ``tcorr``.
+
+    ``tp_weights`` = per-type predictor weight rows (from
+    _tp_fit_from_duckdb): candidates are then gated on the learned
+    prediction exactly like the Spark side."""
+    if tp_weights is not None:
+        pred_ctes = f"{_tp_pred_ctes(tp_weights)},"
+        tcand = """
+tcand AS (
+  SELECT tcand0.* FROM tcand0
+  JOIN tpred ON tpred.e = tcand0.o AND tpred.tt = tcand0.t_new
+  WHERE tpred.pred),"""
+    else:
+        pred_ctes = ""
+        tcand = "\ntcand AS (SELECT * FROM tcand0),"
     return f"""
 trkd AS (
   SELECT s, p, o, score,
@@ -348,15 +612,16 @@ tdist AS (
   SELECT f.p, ty.t, count(*) * 1.0 / (SELECT n FROM ttot) AS dist
   FROM noisyf f JOIN ty ON ty.e = f.o GROUP BY f.p, ty.t),
 tnorms AS (SELECT p, sqrt(sum(dist * dist)) AS nrm FROM tdist GROUP BY p),
-tcand AS (
+tcand0 AS (
   SELECT tsusp.s, tsusp.p, tsusp.o, tsusp.score, tran.t AS t_new
   FROM tsusp JOIN tran ON tran.p = tsusp.p
   WHERE NOT EXISTS (SELECT 1 FROM ty
                     WHERE ty.e = tsusp.o AND ty.t = tran.t)),
+{pred_ctes}{tcand}
 tparts AS (
-  SELECT q.p, q.o, sum(coalesce(tdist.dist, 0)) AS dot, count(*) AS nt
+  SELECT q.p, q.o, sum(coalesce(tdist.dist, 0)) AS dot, count(ty.t) AS nt
   FROM (SELECT DISTINCT p, o FROM tcand) q
-  JOIN ty ON ty.e = q.o
+  LEFT JOIN ty ON ty.e = q.o
   LEFT JOIN tdist ON tdist.p = q.p AND tdist.t = ty.t
   GROUP BY q.p, q.o),
 tscored AS (
@@ -378,11 +643,42 @@ tcorr AS (
 
 def type_corrections_sql(raw_cte: str, p_error: float = 0.05,
                          p: float = P_CORRECT, min_score: float = MIN_SCORE,
-                         min_score_gain: float = MIN_GAIN) -> str:
+                         min_score_gain: float = MIN_GAIN,
+                         learned: bool = False,
+                         sf_dir: str | None = None) -> str:
+    """``learned=True`` gates candidates on the per-type predictor: the
+    fit runs Spark-free (_tp_fit_from_duckdb) on the driver's dataset and
+    its weights are embedded as VALUES — same pattern as the PaTyBRED
+    end-to-end oracle."""
     from kgspark import pipeline
+    from kgspark.util import oracle_sf_dir
 
+    w = (_tp_fit_from_duckdb(raw_cte, p_error, sf_dir or oracle_sf_dir())
+         if learned else None)
     return (f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}, "
-            f"{type_corrections_ctes(p, min_score, min_score_gain)} "
+            f"{type_corrections_ctes(p, min_score, min_score_gain, tp_weights=w)} "
+            "SELECT s, p, o, score, t_new, new_score FROM tcorr")
+
+
+def type_corrections_learned_sql(raw_cte: str, p_ty: float = P_TYERR,
+                                 p: float = P_CORRECT,
+                                 min_score: float = MIN_SCORE,
+                                 min_score_gain: float = MIN_GAIN,
+                                 sf_dir: str | None = None) -> str:
+    """Oracle for the type-incompleteness repair: clean facts, degraded
+    types (inject_type_errors), SDValidate ranking, learned per-type
+    predictor gating the flips (weights fitted Spark-free on the SAME
+    degraded tables and embedded as VALUES)."""
+    from kgspark.scoring import sdvalidate_ctes
+    from kgspark.util import oracle_sf_dir
+
+    w = _tp_fit_from_duckdb(raw_cte, 0.0, sf_dir or oracle_sf_dir(),
+                            p_ty=p_ty)
+    return (f"WITH {degraded_kg_ctes(raw_cte, p_ty)},\n"
+            "noisyf AS (SELECT s, p, o FROM enc),\n"
+            f"{sdvalidate_ctes('noisyf')},\n"
+            "flg AS (SELECT s, p, o, score FROM sdv),\n"
+            f"{type_corrections_ctes(p, min_score, min_score_gain, tp_weights=w)} "
             "SELECT s, p, o, score, t_new, new_score FROM tcorr")
 
 

@@ -578,11 +578,40 @@ SELECT s, p, o FROM rk WHERE rnk IN ({pos_list})
 # ----------------------------------------------------------------- training
 
 
-def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+def _chi2_topk(X: np.ndarray, y: np.ndarray, feat_names: list[str],
+               k: int) -> list[int]:
+    """Deterministic chi2 SelectKBest (M2) — the reference's default
+    feature-selection measure (/root/reference/patybred.py:382-400,
+    sklearn chi2 + SelectKBest). sklearn computes the statistic from the
+    presence-only contingency: observed per class = class-wise feature
+    sums, expected = feature total × class prior. sklearn is absent here,
+    so the identical formula runs in numpy, with ties broken by feature
+    name (sklearn's argsort order is unspecified on ties). Returns the
+    kept column indices in ascending order.
+    """
+    p1 = float(y.mean())
+    tot = X.sum(axis=0)
+    obs1 = X[y == 1].sum(axis=0)
+    obs0 = tot - obs1
+    exp1, exp0 = tot * p1, tot * (1.0 - p1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chi = (np.where(exp0 > 0, (obs0 - exp0) ** 2 / exp0, 0.0)
+               + np.where(exp1 > 0, (obs1 - exp1) ** 2 / exp1, 0.0))
+    order = sorted(range(len(feat_names)),
+                   key=lambda j: (-chi[j], feat_names[j]))
+    return sorted(order[:k])
+
+
+def _fit_group(pdf: pd.DataFrame, max_feats: int | None = None) -> pd.DataFrame:
     """Deterministic L2 logistic regression on one relation's batch.
 
     Input rows: (p, s, o, label, feats: list[str]). Output long weights:
     (p, feat, w) with feat='_bias' carrying the intercept.
+
+    ``max_feats`` enables the reference's M2 feature selection: chi2
+    top-k when the relation's feature space exceeds the cap
+    (/root/reference/patybred.py:385-400); None = no selection (the
+    reference shape when n_feats ≤ max_feats).
     """
     p = int(pdf["p"].iloc[0])
     pdf = pdf.sort_values(["label", "s", "o"]).reset_index(drop=True)
@@ -599,6 +628,10 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         for f in r:
             X[i, fidx[f]] = 1.0
     y = pdf["label"].to_numpy(dtype=np.float64)
+    if max_feats is not None and X.shape[1] > max_feats:
+        keep = _chi2_topk(X, y, feat_set, max_feats)
+        X = X[:, keep]
+        feat_set = [feat_set[j] for j in keep]
     w = np.zeros(X.shape[1])
     b = 0.0
     n = float(len(y))
@@ -617,14 +650,19 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def fit_models(triples: DataFrame, idx: PathIndex, types: DataFrame,
-               n_entities: int) -> DataFrame:
-    """Per-relation classifier fit via applyInPandas (M1) → (p, feat, w)."""
+               n_entities: int, iorels: bool = False,
+               max_feats: int | None = None) -> DataFrame:
+    """Per-relation classifier fit via applyInPandas (M1) → (p, feat, w).
+
+    ``iorels`` adds the J5 degree-by-path features (multiplying the
+    feature space ~4× per path); ``max_feats`` triggers the M2 chi2
+    selection above the cap."""
     pos = sample_positives(triples)
     neg = generate_negatives(pos, triples, n_entities)
     train = pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
-    fl = features_long(train.select("s", "p", "o"), idx, types)
+    fl = features_long(train.select("s", "p", "o"), idx, types, iorels)
     rows = (
         train.join(
             fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),
@@ -633,13 +671,14 @@ def fit_models(triples: DataFrame, idx: PathIndex, types: DataFrame,
     )
     return materialize(
         rows.groupBy("p").applyInPandas(
-            _fit_group, "p int, feat string, w double"
+            lambda pdf: _fit_group(pdf, max_feats),
+            "p int, feat string, w double"
         )
     )
 
 
 def score_facts(facts: DataFrame, idx: PathIndex, types: DataFrame,
-                models: DataFrame) -> DataFrame:
+                models: DataFrame, iorels: bool = False) -> DataFrame:
     """(s,p,o) → (s,p,o,score): sigmoid(bias_p + Σ active weights) (M3).
 
     Pure joins + aggregates: the weights table is tiny (broadcast); the
@@ -652,7 +691,7 @@ def score_facts(facts: DataFrame, idx: PathIndex, types: DataFrame,
     )
     has_model = bias.select("p").distinct().withColumn("_hm", F.lit(True))
 
-    fl = features_long(facts, idx, types)
+    fl = features_long(facts, idx, types, iorels)
     dot = (
         fl.join(F.broadcast(weights), ["p", "feat"], "left")
         .groupBy("s", "p", "o")
@@ -731,10 +770,12 @@ def _gini_tree(X: np.ndarray, y: np.ndarray, feat_names: list[str],
     return leaves
 
 
-def _fit_group_dt(pdf: pd.DataFrame) -> pd.DataFrame:
+def _fit_group_dt(pdf: pd.DataFrame,
+                  max_feats: int | None = None) -> pd.DataFrame:
     """Per-relation decision-tree fit (same batch shape as _fit_group).
 
-    Output long leaves: (p, leaf, prob, n, feats_true, feats_false)."""
+    Output long leaves: (p, leaf, prob, n, feats_true, feats_false).
+    ``max_feats`` = chi2 top-k feature selection, as in _fit_group."""
     p = int(pdf["p"].iloc[0])
     pdf = pdf.sort_values(["label", "s", "o"]).reset_index(drop=True)
     rows = [list(r) if r is not None else [] for r in pdf["feats"]]
@@ -755,6 +796,10 @@ def _fit_group_dt(pdf: pd.DataFrame) -> pd.DataFrame:
         for f in r:
             X[i, fidx[f]] = 1.0
     y = pdf["label"].to_numpy(dtype=np.float64)
+    if max_feats is not None and X.shape[1] > max_feats:
+        keep = _chi2_topk(X, y, feat_set, max_feats)
+        X = X[:, keep]
+        feat_set = [feat_set[j] for j in keep]
     leaves = _gini_tree(X, y, feat_set)
     return pd.DataFrame({
         "p": p,
@@ -771,7 +816,8 @@ DT_SCHEMA = ("p int, leaf int, prob double, n long, "
 
 
 def fit_models_dt(triples: DataFrame, idx: PathIndex, types: DataFrame,
-                  n_entities: int) -> DataFrame:
+                  n_entities: int, iorels: bool = False,
+                  max_feats: int | None = None) -> DataFrame:
     """Per-relation DT fit (M1 clf='dt') → leaf table (tiny: ≤ 2^depth
     rows per relation)."""
     pos = sample_positives(triples)
@@ -779,23 +825,24 @@ def fit_models_dt(triples: DataFrame, idx: PathIndex, types: DataFrame,
     train = pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
-    fl = features_long(train.select("s", "p", "o"), idx, types)
+    fl = features_long(train.select("s", "p", "o"), idx, types, iorels)
     rows = train.join(
         fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),
         ["s", "p", "o"], "left",
     )
-    return materialize(rows.groupBy("p").applyInPandas(_fit_group_dt, DT_SCHEMA))
+    return materialize(rows.groupBy("p").applyInPandas(
+        lambda pdf: _fit_group_dt(pdf, max_feats), DT_SCHEMA))
 
 
 def score_facts_dt(facts: DataFrame, idx: PathIndex, types: DataFrame,
-                   dt_models: DataFrame) -> DataFrame:
+                   dt_models: DataFrame, iorels: bool = False) -> DataFrame:
     """(s,p,o) → (s,p,o,score) by routing each fact to its (unique) leaf.
 
     The leaf table partitions the feature space per relation, so the
     broadcast join + forall/exists array predicates match exactly one leaf
     per fact — all JVM-side; the only shuffle is the feature grouping.
     Relations without a model score 0.0 (patybred.py:536-537)."""
-    fl = features_long(facts, idx, types)
+    fl = features_long(facts, idx, types, iorels)
     active = facts.join(
         fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("_feats")),
         ["s", "p", "o"], "left",
@@ -860,22 +907,26 @@ def _pb_base(spark: SparkSession, sf_dir: str, p_error: float, kind: int,
 
 def pb_bundle(spark: SparkSession, sf_dir: str, p_error: float = 0.05,
               clf: str = "lgr", kind: int = 1, variant: str = "base",
-              replace: bool = False) -> PBBundle:
+              replace: bool = False, iorels: bool = False,
+              max_feats: int | None = None) -> PBBundle:
     """Noisy graph → fit → score → rank, memoized end-to-end."""
     from kgspark import pipeline, rank
 
-    key = (id(spark), sf_dir, p_error, clf, kind, variant, replace)
+    key = (id(spark), sf_dir, p_error, clf, kind, variant, replace,
+           iorels, max_feats)
     hit = _PB_BUNDLE_MEMO.get(key)
     if hit is not None:
         return hit
     g, noisy, facts, idx = _pb_base(spark, sf_dir, p_error, kind,
                                     variant, replace)
     if clf == "lgr":
-        models = fit_models(facts, idx, g.types, g.n_entities)
-        scores = score_facts(facts, idx, g.types, models)
+        models = fit_models(facts, idx, g.types, g.n_entities,
+                            iorels, max_feats)
+        scores = score_facts(facts, idx, g.types, models, iorels)
     else:
-        models = fit_models_dt(facts, idx, g.types, g.n_entities)
-        scores = score_facts_dt(facts, idx, g.types, models)
+        models = fit_models_dt(facts, idx, g.types, g.n_entities,
+                               iorels, max_feats)
+        scores = score_facts_dt(facts, idx, g.types, models, iorels)
     scores = materialize(scores.withColumn("score", F.round("score", 6)))
     ranked = materialize(
         rank.rank_facts(scores).join(noisy, ["s", "p", "o"]).select(
@@ -1069,7 +1120,8 @@ negs AS (
 
 
 def _pb_noisy_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
-                   kind: int = 1, replace: bool = False) -> str:
+                   kind: int = 1, replace: bool = False,
+                   iorels: bool = False) -> str:
     """kg → kind-1/3 errors → noisy graph → paths/memb over the NOISY
     graph (patybred_ranked enumerates paths on the error-injected facts)
     → nfl (features of every noisy fact). ``replace`` mirrors
@@ -1100,7 +1152,7 @@ noisy AS (
   SELECT s, p, o, TRUE AS is_error FROM errfin),
 noisyf AS (SELECT s, p, o FROM noisy),
 {paths_ctes(R, rel='noisyf')},
-{memb_ctes(R)},
+{memb_ctes(R)},{("%s," % endpoints_ctes(R)) if iorels else ""}
 nfl AS (
   SELECT f.s, f.p, f.o, memb.feat
   FROM noisyf f JOIN memb ON memb.s = f.s AND memb.o = f.o
@@ -1110,15 +1162,16 @@ nfl AS (
   FROM noisyf f JOIN ty ON ty.e = f.s
   UNION ALL
   SELECT f.s, f.p, f.o, 'ot_' || CAST(ty.t AS VARCHAR)
-  FROM noisyf f JOIN ty ON ty.e = f.o)
+  FROM noisyf f JOIN ty ON ty.e = f.o{_io_arms('noisyf', iorels)})
 """
 
 
 def _pb_train_ctes(raw_cte: str, p_error: float, R: int = R_CONST,
-                   kind: int = 1, replace: bool = False) -> str:
+                   kind: int = 1, replace: bool = False,
+                   iorels: bool = False) -> str:
     """…plus training rows (pos ∪ negs over noisyf) and their features."""
     return f"""
-{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace)},
+{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace, iorels)},
 {negatives_ctes(R, rel='noisyf', with_ne=False)},
 train AS (
   SELECT s, p, o, 1 AS label FROM pos
@@ -1133,8 +1186,26 @@ tfl AS (
   FROM train t JOIN ty ON ty.e = t.s
   UNION ALL
   SELECT t.s, t.p, t.o, 'ot_' || CAST(ty.t AS VARCHAR)
-  FROM train t JOIN ty ON ty.e = t.o)
+  FROM train t JOIN ty ON ty.e = t.o{_io_arms('train', iorels)})
 """
+
+
+def _io_arms(rel: str, iorels: bool) -> str:
+    """J5 feature arms over ``iop`` (endpoints_ctes) for the fact table
+    ``rel`` — appended inside the nfl/tfl feature CTEs when iorels is on;
+    naming matches features_long (os_/is_ for subjects, oo_/io_ for
+    objects)."""
+    if not iorels:
+        return ""
+    return f"""
+  UNION ALL
+  SELECT t.s, t.p, t.o,
+         (CASE WHEN iop.side = 'r' THEN 'os_' ELSE 'is_' END) || iop.pid
+  FROM {rel} t JOIN iop ON iop.e = t.s
+  UNION ALL
+  SELECT t.s, t.p, t.o,
+         (CASE WHEN iop.side = 'r' THEN 'oo_' ELSE 'io_' END) || iop.pid
+  FROM {rel} t JOIN iop ON iop.e = t.o"""
 
 
 _PB_FIT_CACHE: dict[tuple, pd.DataFrame | None] = {}
@@ -1142,7 +1213,8 @@ _PB_FIT_CACHE: dict[tuple, pd.DataFrame | None] = {}
 
 def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
                         clf: str, R: int = R_CONST, kind: int = 1,
-                        replace: bool = False):
+                        replace: bool = False, iorels: bool = False,
+                        max_feats: int | None = None):
     """Run the training SQL in a fresh DuckDB and fit the numpy model —
     no Spark involved. Returns the per-relation fit output rows."""
     from hashlib import sha256
@@ -1150,7 +1222,7 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
     # full-content digest, not hash(): a Python-hash collision between two
     # raw CTEs in one process would silently return the wrong weights
     key = (sha256(raw_cte.encode()).hexdigest(), p_error, sf_dir, clf, R,
-           kind, replace)
+           kind, replace, iorels, max_feats)
     if key in _PB_FIT_CACHE:
         return _PB_FIT_CACHE[key]
     import duckdb
@@ -1160,7 +1232,7 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
     con = duckdb.connect()
     con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
                 f"'{sf_dir}/documents.parquet')")
-    base = _pb_train_ctes(raw_cte, p_error, R, kind, replace)
+    base = _pb_train_ctes(raw_cte, p_error, R, kind, replace, iorels)
     train = con.execute(materialize_ctes(
         f"WITH {base} SELECT s, p, o, label FROM train")).df()
     tf = con.execute(materialize_ctes(
@@ -1174,7 +1246,7 @@ def _pb_fit_from_duckdb(raw_cte: str, p_error: float, sf_dir: str,
         sorted(fmap.get((r.s, r.p, r.o), [])) for r in train.itertuples()]
 
     fit = _fit_group if clf == "lgr" else _fit_group_dt
-    outs = [fit(grp) for _, grp in train.groupby("p", sort=True)]
+    outs = [fit(grp, max_feats) for _, grp in train.groupby("p", sort=True)]
     res = pd.concat(outs, ignore_index=True) if outs else None
     _PB_FIT_CACHE[key] = res
     return res
@@ -1186,9 +1258,12 @@ def _sql_num(x: float) -> str:
 
 def _pb_scored_sql(raw_cte: str, p_error: float, sf_dir: str,
                    clf: str = "lgr", R: int = R_CONST,
-                   kind: int = 1, replace: bool = False) -> str:
+                   kind: int = 1, replace: bool = False,
+                   iorels: bool = False,
+                   max_feats: int | None = None) -> str:
     """Full oracle chain ending in ``scored`` (s, p, o, score, is_error)."""
-    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R, kind, replace)
+    w = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, clf, R, kind, replace,
+                            iorels, max_feats)
     if clf == "lgr":
         if w is None or len(w) == 0:
             vals = "(0, '_none', CAST('0.0' AS DOUBLE))"
@@ -1240,13 +1315,16 @@ scored AS (
   SELECT ffs.s, ffs.p, ffs.o, coalesce(h.prob, 0.0) AS score, ffs.is_error
   FROM ffs LEFT JOIN hits h ON h.s = ffs.s AND h.p = ffs.p AND h.o = ffs.o)
 """ % vals
-    return f"{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace)},\n{model_ctes}"
+    return (f"{_pb_noisy_ctes(raw_cte, p_error, R, kind, replace, iorels)},"
+            f"\n{model_ctes}")
 
 
 def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
                       sf_dir: str | None = None,
                       clf: str = "lgr", R: int = R_CONST,
-                      kind: int = 1, replace: bool = False) -> str:
+                      kind: int = 1, replace: bool = False,
+                      iorels: bool = False,
+                      max_feats: int | None = None) -> str:
     """Exact oracle for patybred_ranked / patybred_dt_ranked; ``sf_dir``
     must be the dataset the driver compares at (default: resolved from the
     driver env via util.oracle_sf_dir)."""
@@ -1254,7 +1332,8 @@ def ranked_oracle_sql(raw_cte: str, p_error: float = 0.05,
 
     sf_dir = sf_dir or oracle_sf_dir()
     return f"""
-WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R, kind, replace)}
+WITH {_pb_scored_sql(raw_cte, p_error, sf_dir, clf, R, kind, replace,
+                     iorels, max_feats)}
 SELECT s, p, o, round(score, 6) AS score,
        CAST(row_number() OVER (ORDER BY round(score, 6), s, p, o) AS BIGINT)
          AS rank,

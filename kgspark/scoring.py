@@ -46,22 +46,32 @@ def ot_dist(triples: DataFrame, types: DataFrame, side: str = "o") -> DataFrame:
 
 
 def sdvalidate_scores(triples: DataFrame, types: DataFrame) -> DataFrame:
-    """→ (s, p, o, score): cosine(type-vec(o), ot_dist[p]). Low = suspect."""
+    """→ (s, p, o, score): cosine(type-vec(o), ot_dist[p]). Low = suspect.
+
+    Facts whose object has NO type row score 0.0 (cosine with the empty
+    vector) instead of silently dropping out — the analog of the
+    reference's pad-untyped-entities-with-thing step
+    (sdvalidate.py:86-89). A no-op on fully-typed graphs (every entity
+    carries a kind:* type); load-bearing in the type-incompleteness
+    repair regime (correct.inject_type_errors).
+    """
     dist = ot_dist(triples, types, "o")
     norms = dist.groupBy("p").agg(F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("norm"))
     o_types = types.select(F.col("e").alias("o"), "t")
     return (
-        triples.join(o_types, "o")
+        triples.join(o_types, "o", "left")
         .join(F.broadcast(dist), ["p", "t"], "left")
         .groupBy("s", "p", "o")
         .agg(
             F.sum(F.coalesce(F.col("dist"), F.lit(0.0))).alias("dot"),
-            F.count("*").alias("nt"),
+            F.count("t").alias("nt"),
         )
         .join(F.broadcast(norms), "p")
         .select(
             "s", "p", "o",
-            (F.col("dot") / (F.sqrt(F.col("nt")) * F.col("norm"))).alias("score"),
+            F.when(F.col("nt") == 0, F.lit(0.0))
+            .otherwise(F.col("dot") / (F.sqrt(F.col("nt")) * F.col("norm")))
+            .alias("score"),
         )
     )
 
@@ -146,13 +156,15 @@ dist AS (
 norms AS (SELECT p, sqrt(sum(dist * dist)) AS nrm FROM dist GROUP BY p),
 agg AS (
   SELECT f.s, f.p, f.o,
-         sum(coalesce(dist.dist, 0)) AS dot, count(*) AS nt
-  FROM {facts_rel} f JOIN ty ON ty.e = f.o
+         sum(coalesce(dist.dist, 0)) AS dot, count(ty.t) AS nt
+  FROM {facts_rel} f LEFT JOIN ty ON ty.e = f.o
   LEFT JOIN dist ON dist.p = f.p AND dist.t = ty.t
   GROUP BY f.s, f.p, f.o),
 sdv AS (
   SELECT agg.s, agg.p, agg.o,
-         round(agg.dot / (sqrt(agg.nt) * norms.nrm), {round_to}) AS score
+         CASE WHEN agg.nt = 0 THEN 0.0
+              ELSE round(agg.dot / (sqrt(agg.nt) * norms.nrm), {round_to})
+         END AS score
   FROM agg JOIN norms ON norms.p = agg.p)
 """
 

@@ -343,3 +343,68 @@ def test_reference_gate_corrections_recover_true_objects(spark):
     for r in rows:
         assert r["new_score"] > entry.REF_MIN_SCORE
         assert r["new_score"] >= entry.REF_GAIN * r["score"] or r["score"] == 0
+
+
+def test_chi2_topk_matches_pandas_oracle():
+    """M2 chi2 SelectKBest vs an independent pandas contingency oracle
+    (sklearn formula: presence-only observed vs class-prior expected)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    X = (rng.rand(200, 12) < 0.3).astype(float)
+    y = (rng.rand(200) < 0.5).astype(float)
+    names = [f"f{i:02d}" for i in range(12)]
+
+    df = pd.DataFrame(X, columns=names)
+    df["y"] = y
+    p1 = df["y"].mean()
+    scores = {}
+    for c in names:
+        tot = df[c].sum()
+        obs1 = df.loc[df["y"] == 1, c].sum()
+        obs0 = tot - obs1
+        exp1, exp0 = tot * p1, tot * (1 - p1)
+        scores[c] = ((obs0 - exp0) ** 2 / exp0 if exp0 > 0 else 0.0) \
+            + ((obs1 - exp1) ** 2 / exp1 if exp1 > 0 else 0.0)
+    want = sorted(sorted(names, key=lambda c: (-scores[c], c))[:5])
+
+    keep = patybred._chi2_topk(X, y, names, 5)
+    assert [names[j] for j in keep] == want
+
+
+def test_feature_selection_caps_model_features(spark, graph, idx):
+    """iorels=True inflates the feature space past FS_MAX; the fitted
+    weight table must then carry at most max_feats weights per relation
+    (plus the bias), and fewer than the unselected fit."""
+    full = patybred.fit_models(graph.triples, idx, graph.types,
+                               graph.n_entities, iorels=True)
+    sel = patybred.fit_models(graph.triples, idx, graph.types,
+                              graph.n_entities, iorels=True, max_feats=10)
+    nf = {r["p"]: r["n"] for r in full.where("feat <> '_bias'")
+          .groupBy("p").count().withColumnRenamed("count", "n").collect()}
+    ns = {r["p"]: r["n"] for r in sel.where("feat <> '_bias'")
+          .groupBy("p").count().withColumnRenamed("count", "n").collect()}
+    assert ns, "selection produced no models"
+    for p, n in ns.items():
+        assert n <= 10
+        assert nf[p] > 10  # selection actually triggered
+
+
+def test_learned_type_predictor_restores_dropped_types(spark):
+    """M6 with the LEARNED per-type predictor: drop a fraction of type
+    assertions (inject_type_errors), rank with SDValidate (typeless
+    objects score 0.0 — the reference's pad-with-thing analog), gate the
+    flips on the per-type LR prediction. Every accepted flip must restore
+    a genuinely dropped (entity, type) assertion at gain=1.5."""
+    import __spark_entry__ as entry
+    from kgspark import correct
+    from tests.conftest import SF_SMALL
+
+    g = pipeline.build_graph(spark, SF_SMALL)
+    res = entry._q_type_corrections_learned(spark, SF_SMALL).collect()
+    assert len(res) > 0
+    tyx = correct.inject_type_errors(g.types)
+    dropped = {(r["e"], r["t"]) for r in
+               g.types.join(tyx, ["e", "t"], "left_anti").collect()}
+    assert all((r["o"], r["t_new"]) in dropped for r in res)
