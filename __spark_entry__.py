@@ -197,11 +197,13 @@ def _q_flagship_avg(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.flagship_ranked_avg(spark, sf, P_ERROR)
 
 
-# Correction-gate parameterization for the driver checks: the synthetic
-# corpus's kind-1 errors are random-entity corruptions (not typo
+# Correction-gate parameterization for the BASE-corpus demo checks: the
+# synthetic corpus's kind-1 errors are random-entity corruptions (not typo
 # confusions), so the reference's gain=1.5 gate accepts nothing here;
 # gain=1.0 exercises the full accept path (re-score, score>=old,
-# dist/candidate tie-breaks) with a non-empty, value-checked result.
+# dist/candidate tie-breaks) with a non-empty, value-checked result. The
+# REFERENCE gate (0.75 / 1.5 / multi-type guard) is exercised
+# non-trivially by kg_corrections_ref_gate on the rich corpus below.
 CORR_GAIN = 1.0
 CORR_MIN = 0.01
 
@@ -212,6 +214,20 @@ def _q_corrections(spark, sf):
     return correct.correct_errors(
         ranked, ranked.select("s", "p", "o"), g.types, g.entities,
         min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+
+
+def _q_corrections_excl(spark, sf):
+    """The reference's full correction FLOW: type corrections first, then
+    entity replacement only for suspects the type pass did not repair
+    (correct_errors.py:55-75 exclusivity)."""
+    g = pipeline.build_graph(spark, sf)
+    ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
+    facts = ranked.select("s", "p", "o")
+    tc = correct.type_corrections(
+        ranked, facts, g.types, min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+    return correct.correct_errors(
+        ranked, facts, g.types, g.entities,
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN, exclude=tc)
 
 
 def _q_errors_k3(spark: SparkSession, sf: str) -> DataFrame:
@@ -459,17 +475,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_patybred_ranked": _q_patybred_ranked,
         "kg_patybred_metrics": _q_patybred_metrics,
         "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
-        "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
         "kg_flagship_ranked": _q_flagship,
         "kg_flagship_ranked_avg": _q_flagship_avg,
         "kg_eval_metrics": _q_metrics,
         "kg_corrections": _q_corrections,
         "kg_corrections_pb": _q_corrections_pb,
-        "kg_rich_triples_raw": _q_rich_triples,
-        "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
-        "kg_corrections_ref_gate": _q_corrections_ref_gate,
         "kg_type_corrections": _q_type_corrections,
-        "kg_type_corrections_learned": _q_type_corrections_learned,
         "kg_corrected_triples": _q_corrected_triples,
         "kg_types_closure": _q_types_closure,
         "kg_domran_materialize": _q_domran_materialize,
@@ -494,6 +505,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "mm_media_meta": _q_media_meta,
         "mm_media_features": _q_media_features,
+        # round-3 additions, deliberately last (see module docstring)
+        "kg_corrections_excl": _q_corrections_excl,
+        "kg_type_corrections_learned": _q_type_corrections_learned,
+        "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
+        "kg_rich_triples_raw": _q_rich_triples,
+        "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
+        "kg_corrections_ref_gate": _q_corrections_ref_gate,
     }
 
 
@@ -553,6 +571,8 @@ def oracle_sql() -> dict[str, str]:
             raw, P_ERROR),
         "kg_eval_metrics": pipeline.flagship_metrics_sql(raw, P_ERROR),
         "kg_corrections": correct.corrections_sql(
+            raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
+        "kg_corrections_excl": correct.corrections_excl_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),
         "kg_corrections_pb": correct.corrections_pb_sql(
             raw, P_ERROR, min_score=CORR_MIN, min_score_gain=CORR_GAIN),

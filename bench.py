@@ -88,14 +88,46 @@ def run_scaling(master: str, sf_dir: str, replicate: int,
 
     spark = get_spark("kgspark-bench", master=master)
     rf = synth.repo_files_scaled(spark, sf_dir, replicate)
-    secs, n_triples, queries = [], 0, {}
+    secs, n_triples, queries, inter = [], 0, {}, None
     for i in range(runs + 1):
         t0 = time.time()
-        timings, n_triples, _ = _e2e(spark, rf)
+        timings, n_triples, inter = _e2e(spark, rf)
         dt = time.time() - t0
         if i > 0:  # first pass = warm-up, discarded
             secs.append(dt)
             queries = timings
+    # corrections stage (the most expensive operator at sf0.1): measured
+    # once per side with its own warm-up so its N→4N efficiency is part
+    # of the scaling evidence, not assumed from the e2e mix. It runs on
+    # its OWN smaller replicate: the k·10⁶ doc-id offsets of the
+    # replication scheme make every file name-similar to its ~replicate
+    # cross-replica twins, so name-candidate pairs grow QUADRATICALLY in
+    # the replicate factor — a fixture artifact (real corpora have
+    # bounded near-name groups), not an operator property; at the default
+    # 8× the stage still shuffles hundreds of thousands of blocked pairs.
+    from pyspark.sql import functions as F
+
+    from kgspark import correct, encode, scoring
+    from kgspark import rank as _rank
+    from kgspark.util import materialize
+
+    corr_rep = int(os.environ.get("SPARK_GRAFT_CORR_REPLICATE", "8"))
+    rfc = synth.repo_files_scaled(spark, sf_dir, corr_rep)
+    _, _, (_, tr, enc, types, noisy) = _e2e(spark, rfc)
+    facts = noisy.select("s", "p", "o")
+    sc0 = scoring.sdvalidate_scores(facts, types) \
+        .withColumn("score", F.round("score", 6))
+    rk0 = materialize(_rank.rank_facts(sc0))
+    ents_df = materialize(encode.build_dims(tr)[0])
+
+    def _corr():
+        correct.correct_errors(rk0, facts, types, ents_df,
+                               min_score=0.01, min_score_gain=1.0).count()
+
+    _corr()  # warm-up
+    t0 = time.time()
+    _corr()
+    queries["corrections"] = time.time() - t0
     spark.stop()
     secs.sort()
     med = secs[len(secs) // 2] if len(secs) % 2 else \
@@ -260,6 +292,10 @@ def main() -> None:
         lo = run_scaling(f"local[{lo_n}]", sf_dir, replicate, runs)
         hi = run_scaling(f"local[{hi_n}]", sf_dir, replicate, runs)
         eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (hi_n / lo_n)
+        stage_speedup = {
+            k: round(lo["queries"][k] / hi["queries"][k], 2)
+            for k in hi["queries"] if lo["queries"].get(k)
+        }
         out = {
             "metric": "kg pipeline e2e scaling (extract→link→encode→corrupt→score→rank)",
             "value": hi["e2e_sec"],
@@ -278,6 +314,7 @@ def main() -> None:
                 f"local[{lo_n}]_sec": lo["e2e_sec"],
                 f"local[{hi_n}]_sec": hi["e2e_sec"],
                 "efficiency": round(eff, 3),
+                "stage_speedup": stage_speedup,
             },
         }
     else:

@@ -240,4 +240,23 @@ def run_pipeline(spark: SparkSession, sf_dir: str, workdir: str,
     metrics = rank.evaluate(ranked).first().asDict()
     metrics = {k: (round(v, 6) if isinstance(v, float) else v)
                for k, v in metrics.items()}
-    return {"metrics": metrics, "events": ck.events}
+    out = {"metrics": metrics, "events": ck.events}
+
+    if method == "correct":
+        # detect-and-REPAIR (M7/P7): name-similarity candidates →
+        # range-filter → re-score → gated accept, then the repaired fact
+        # table — both resumable stages like everything upstream.
+        from kgspark import correct
+
+        corr = ck.stage(
+            "corrections",
+            lambda: correct.correct_errors(
+                ranked, facts, types, ents,
+                min_score=0.01, min_score_gain=1.0),
+            params={"method": method}, deps=["ranked"])
+        repaired = ck.stage(
+            "repaired", lambda: correct.apply_corrections(facts, corr),
+            deps=["corrections"], partition_by=["p"])
+        out["n_corrections"] = corr.count()
+        out["n_repaired_facts"] = repaired.count()
+    return out

@@ -53,17 +53,29 @@ _DELETES_EXPR = (
 )
 
 
-def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST) -> DataFrame:
+def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
+                    max_bucket: int | None = None) -> DataFrame:
     """→ (a, b, dist): entity-id pairs with similar names, both directions.
 
     SymSpell distance-1 delete variants block the candidates (recall 1.0
     at DL ≤ 1, partial at 2 — the standard SymSpell trade; the DuckDB
-    oracle shares the exact blocking); exact DL verifies ≤ max_dist."""
+    oracle shares the exact blocking); exact DL verifies ≤ max_dist.
+
+    ``max_bucket`` drops delete-variant buckets with more members than
+    the cap BEFORE the self-join — the standard SymSpell guard against
+    hot buckets (a variant shared by thousands of names carries no typo
+    signal but costs |bucket|² pairs). None = exact blocking (the
+    driver-checked configuration); set at 10^12-file scale.
+    """
     m = entities.select(
         F.col("id"),
         F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("norm"))
     v = m.select("id", "norm",
                  F.explode(F.expr(_DELETES_EXPR)).alias("var")).distinct()
+    if max_bucket is not None:
+        ok = v.groupBy("var").agg(F.count("*").alias("_n")) \
+            .where(F.col("_n") <= max_bucket).select("var")
+        v = v.join(ok, "var", "left_semi")
     l = v.select("var", F.col("id").alias("a"), F.col("norm").alias("na"))
     r = v.select("var", F.col("id").alias("b"), F.col("norm").alias("nb"))
     pairs = (
@@ -780,6 +792,21 @@ SELECT s, p, o, score, o_new, new_score, dist FROM (
 """
 
 
+def corrections_excl_sql(raw_cte: str, p_error: float = 0.05,
+                         p: float = P_CORRECT, min_score: float = MIN_SCORE,
+                         min_score_gain: float = MIN_GAIN) -> str:
+    """Oracle for the reference's full correction FLOW: type corrections
+    first (unconditional-flip configuration), then entity replacement for
+    the suspects the type pass did NOT repair (the ``continue`` after an
+    accepted type flip, correct_errors.py:55-75)."""
+    from kgspark import pipeline
+
+    return (f"WITH {pipeline._noisy_ctes(raw_cte, p_error)}, "
+            f"{type_corrections_ctes(p, min_score, min_score_gain)}, "
+            f"{corrections_ctes(p, min_score, min_score_gain, exclude_tcorr=True)} "
+            "SELECT s, p, o, score, o_new, new_score, dist FROM corr")
+
+
 def corrected_triples_sql(raw_cte: str, p_error: float = 0.05,
                           p: float = P_CORRECT, min_score: float = MIN_SCORE,
                           min_score_gain: float = MIN_GAIN) -> str:
@@ -814,12 +841,21 @@ cpairs2 AS (SELECT a, b, dist FROM cpairs WHERE dist <= {max_dist})
 def corrections_ctes(p: float = P_CORRECT, min_score: float = MIN_SCORE,
                      min_score_gain: float = MIN_GAIN,
                      max_dist: int = MAX_DIST, conf: float = 0.95,
-                     with_cands: bool = True) -> str:
+                     with_cands: bool = True,
+                     exclude_tcorr: bool = False) -> str:
     """CTE chain after a scope providing ``noisy``/``noisyf`` (the fact
     table), ``flg`` (s,p,o,score,is_error), ``ent``, ``ty`` — ends in
     ``corr``. Mirrors correct_errors exactly. ``with_cands=False`` skips
-    the shared name-candidate CTEs when already in scope."""
+    the shared name-candidate CTEs when already in scope.
+    ``exclude_tcorr=True`` drops suspects already repaired by a TYPE
+    correction (requires ``tcorr`` in scope — the reference's
+    type-fix-then-skip-entity-replacement exclusivity,
+    correct_errors.py:55-75)."""
     cands = f"{name_candidates_ctes(max_dist)}," if with_cands else ""
+    excl = ("""
+    AND NOT EXISTS (SELECT 1 FROM tcorr
+                    WHERE tcorr.s = rkd.s AND tcorr.p = rkd.p
+                      AND tcorr.o = rkd.o)""" if exclude_tcorr else "")
     return f"""
 rkd AS (
   SELECT s, p, o, score,
@@ -827,7 +863,7 @@ rkd AS (
   FROM flg),
 susp AS (
   SELECT s, p, o, score FROM rkd
-  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT)),
+  WHERE rank <= CAST(floor((SELECT count(*) FROM rkd) * {p}) AS BIGINT){excl}),
 {cands}
 cran AS (
   SELECT p, t FROM (

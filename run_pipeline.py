@@ -27,7 +27,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--workdir", required=True)
-    ap.add_argument("--method", choices=["sdvalidate", "patybred"],
+    ap.add_argument("--method", choices=["sdvalidate", "patybred", "correct"],
                     default="sdvalidate")
     ap.add_argument("--p-error", type=float, default=0.05)
     ap.add_argument("--master", default=None)
