@@ -367,6 +367,13 @@ def _q_iqr_outlier(spark, sf):
     return evalops.iqr_outlier(sdv)
 
 
+def _q_iforest(spark, sf):
+    g = pipeline.build_graph(spark, sf)
+    sdv = scoring.sdvalidate_scores(g.triples, g.types) \
+        .withColumn("score", F.round("score", 6))
+    return evalops.iforest_outlier(sdv)
+
+
 def _q_linkpred(spark, sf):
     g = pipeline.build_graph(spark, sf)
     return evalops.link_prediction_eval(g.triples, g.types, g.entities)
@@ -506,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": _q_media_meta,
         "mm_media_features": _q_media_features,
         # round-3 additions, deliberately last (see module docstring)
+        "kg_iforest_outlier": _q_iforest,
         "kg_corrections_excl": _q_corrections_excl,
         "kg_type_corrections_learned": _q_type_corrections_learned,
         "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
@@ -596,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_zscore_outlier": evalops.zscore_outlier_sql(raw),
         "kg_mad_outlier": evalops.mad_outlier_sql(raw),
         "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
+        "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
         "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
         "kg_word_freq": evalops.word_freq_sql(raw),
         "kg_symspell_pairs": link.symspell_pairs_sql(raw),

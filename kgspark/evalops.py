@@ -81,6 +81,142 @@ def iqr_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
     return j.select(*scored.columns, F.round(adj, 6).alias("adj_score"))
 
 
+# ------------------------------------------------- isolation forest (M5)
+
+IF_TREES = 64
+IF_SAMPLE = 256  # sklearn IsolationForest max_samples='auto' = min(256, n)
+_EULER = 0.5772156649015329
+
+
+def _if_c(m: int) -> float:
+    """Average BST path length c(m) (Liu et al. 2008, the sklearn
+    normalizer)."""
+    import math
+
+    if m <= 1:
+        return 0.0
+    return 2.0 * (math.log(m - 1) + _EULER) - 2.0 * (m - 1) / m
+
+
+def _if_phash(key: str) -> int:
+    from hashlib import md5
+
+    return int(md5(key.encode()).hexdigest()[:8], 16)
+
+
+def _if_trees(p: int, vals: list[float], n_trees: int = IF_TREES):
+    """Deterministic 1-D isolation trees over a relation's score sample.
+
+    sklearn's IsolationForest draws uniform split points between the
+    node's min and max (1-D feature here — the wrapper fits on the score
+    column, /root/reference/errordetector.py:63-67); the deterministic
+    variant derives each split from the portable md5 of (p, tree, node).
+    Because the feature is 1-D, every tree is a partition of the line
+    into leaf INTERVALS with known depths — returned as
+    ``(tree, lo, hi, h)`` rows with h = depth + c(leaf_size) (the
+    standard unsplit-node path extension), plus the c(n) normalizer.
+    Evaluation is then a broadcast interval join, no model object.
+    """
+    import math
+
+    n = len(vals)
+    max_depth = math.ceil(math.log2(max(2, n)))
+    out: list[tuple[int, float, float, float]] = []
+
+    def rec(t: int, v: list[float], lo: float, hi: float,
+            depth: int, node: int) -> None:
+        if depth >= max_depth or len(v) <= 1 or min(v) == max(v):
+            out.append((t, lo, hi, depth + _if_c(len(v))))
+            return
+        lo_v, hi_v = min(v), max(v)
+        u = _if_phash(f"if|{p}|{t}|{node}") / 2**32
+        cut = lo_v + u * (hi_v - lo_v)
+        left = [x for x in v if x < cut]
+        right = [x for x in v if x >= cut]
+        if not left or not right:
+            out.append((t, lo, hi, depth + _if_c(len(v))))
+            return
+        rec(t, left, lo, cut, depth + 1, node * 2 + 1)
+        rec(t, right, cut, hi, depth + 1, node * 2 + 2)
+
+    for t in range(n_trees):
+        rec(t, sorted(vals), float("-inf"), float("inf"), 0, 0)
+    return out, _if_c(n)
+
+
+def _if_samples_from_rows(rows) -> dict[int, list[float]]:
+    """(s, p, o, score) rows → per-relation hash-ordered score sample
+    (first IF_SAMPLE in (uniform, s, o) order) — the single sampling
+    definition shared by the Spark operator and the Spark-free oracle
+    fit."""
+    d: dict[int, list] = {}
+    for s, p, o, score in rows:
+        u = _if_phash(f"ifsamp|{int(s)}|{int(p)}|{int(o)}") / 2**32
+        d.setdefault(int(p), []).append((u, int(s), int(o), float(score)))
+    return {p: [x[3] for x in sorted(v)[:IF_SAMPLE]] for p, v in d.items()}
+
+
+def _if_fit(samples: dict[int, list[float]]):
+    """→ (interval rows [(p, tree, lo, hi, h)], cn rows [(p, cn)]) for
+    every relation with ≥2 distinct sampled scores."""
+    intervals, cns = [], []
+    for p, vals in sorted(samples.items()):
+        if len(vals) < 2 or min(vals) == max(vals):
+            continue  # no forest → z-score fallback (errordetector.py:97)
+        rows, cn = _if_trees(p, vals)
+        intervals += [(p, t, lo, hi, h) for t, lo, hi, h in rows]
+        cns.append((p, cn))
+    return intervals, cns
+
+
+def iforest_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """M5 'if' variant: deterministic isolation forest per relation.
+
+    Mirrors the reference wrapper with method='if'
+    (/root/reference/errordetector.py:50-51,63-67,93-99): fit on the
+    relation's score population (hash-deterministic 256-row sample, the
+    sklearn max_samples default), decision = 0.5 − 2^(−E[h(x)]/c(n))
+    (sklearn's decision_function), gated like every wrapper variant —
+    at/above-mean scores map to 1.0. Relations without a forest fall back
+    to the z rule. Scoring is a broadcast interval join + one aggregate;
+    the only driver-side data is the ≤256-per-relation sample.
+    """
+    from kgspark.ordering import grouped_ordinal
+
+    spark = scored.sparkSession
+    stats = scored.groupBy("p").agg(
+        F.avg(score_col).alias("_mu"),
+        F.stddev_samp(score_col).alias("_sd"))
+
+    samp = scored.withColumn("_u", puniform(["s", "p", "o"], "ifsamp"))
+    samp = grouped_ordinal(samp, ["p"], ["_u", "s", "o"], out="_rn") \
+        .where(F.col("_rn") <= IF_SAMPLE)
+    samples = _if_samples_from_rows(
+        (r["s"], r["p"], r["o"], r[score_col])
+        for r in samp.select("s", "p", "o", score_col).collect())
+    intervals, cns = _if_fit(samples)
+
+    if not intervals:
+        return zscore_outlier(scored, score_col)
+    idf = F.broadcast(spark.createDataFrame(
+        intervals, "p int, tree int, lo double, hi double, h double"))
+    cdf = F.broadcast(spark.createDataFrame(cns, "p int, cn double"))
+
+    hit = scored.join(idf, "p").where(
+        (F.col(score_col) >= F.col("lo")) & (F.col(score_col) < F.col("hi")))
+    eh = hit.groupBy(*scored.columns).agg(F.avg("h").alias("_eh"))
+    j = scored.join(eh, scored.columns, "left") \
+        .join(cdf, "p", "left").join(F.broadcast(stats), "p")
+    s_if = F.pow(F.lit(2.0), -F.col("_eh") / F.col("cn"))
+    dec = F.lit(0.5) - s_if
+    fallback = F.when(F.col("_sd") > 0,
+                      (F.col(score_col) - F.col("_mu")) / F.col("_sd")) \
+        .otherwise(F.lit(1.0))
+    adj = F.when(F.col(score_col) >= F.col("_mu"), F.lit(1.0)) \
+        .otherwise(F.when(F.col("cn").isNull(), fallback).otherwise(dec))
+    return j.select(*scored.columns, F.round(adj, 6).alias("adj_score"))
+
+
 def candidate_scores_po(triples: DataFrame, types: DataFrame,
                         entities: DataFrame) -> DataFrame:
     """SDValidate score of every (p, candidate-object) pair (M4 analog)."""
@@ -182,6 +318,59 @@ SELECT sdv.s, sdv.p, sdv.o, sdv.score,
   round(CASE WHEN sdv.score < stats.mu AND stats.sd > 0
              THEN (sdv.score - stats.mu) / stats.sd ELSE 1.0 END, 6) AS adj_score
 FROM sdv JOIN stats ON stats.p = sdv.p
+"""
+
+
+def iforest_outlier_sql(triples_cte: str, sf_dir: str | None = None) -> str:
+    """Exact oracle for iforest_outlier over SDValidate scores: the
+    deterministic forest is fitted Spark-free (DuckDB computes the same
+    sdv scores, the shared sampling + tree builder runs in Python) and
+    its leaf intervals embedded as VALUES; scoring is the identical
+    interval join in SQL."""
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+    from kgspark.patybred import _sql_num
+    from kgspark.scoring import sdvalidate_ctes
+    from kgspark.util import oracle_sf_dir
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir or oracle_sf_dir()}/documents.parquet')")
+    sdv = con.execute(materialize_ctes(
+        f"WITH {kg_ctes(triples_cte)}, {sdvalidate_ctes('enc')} "
+        "SELECT s, p, o, score FROM sdv")).df()
+    con.close()
+    samples = _if_samples_from_rows(
+        (r.s, r.p, r.o, r.score) for r in sdv.itertuples())
+    intervals, cns = _if_fit(samples)
+    ivals = ", ".join(
+        f"({p}, {t}, {_sql_num(lo)}, {_sql_num(hi)}, {_sql_num(h)})"
+        for p, t, lo, hi, h in intervals) or \
+        "(0, 0, CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE))"
+    cvals = ", ".join(f"({p}, {_sql_num(cn)})" for p, cn in cns) or \
+        "(0, CAST('0.0' AS DOUBLE))"
+    return f"""
+WITH {kg_ctes(triples_cte)}, {sdvalidate_ctes('enc')},
+ifs(fp, tree, lo, hi, h) AS (VALUES {ivals}),
+ifc(fp, cn) AS (VALUES {cvals}),
+ifst AS (SELECT p, avg(score) AS mu, stddev_samp(score) AS sd
+         FROM sdv GROUP BY p),
+ifeh AS (
+  SELECT sdv.s, sdv.p, sdv.o, avg(ifs.h) AS eh
+  FROM sdv JOIN ifs ON ifs.fp = sdv.p
+   AND sdv.score >= ifs.lo AND sdv.score < ifs.hi
+  GROUP BY sdv.s, sdv.p, sdv.o)
+SELECT sdv.s, sdv.p, sdv.o, sdv.score,
+  round(CASE WHEN sdv.score >= ifst.mu THEN 1.0
+             WHEN ifc.fp IS NULL THEN
+               CASE WHEN ifst.sd > 0
+                    THEN (sdv.score - ifst.mu) / ifst.sd ELSE 1.0 END
+             ELSE 0.5 - pow(2.0, -ifeh.eh / ifc.cn) END, 6) AS adj_score
+FROM sdv
+LEFT JOIN ifeh ON ifeh.s = sdv.s AND ifeh.p = sdv.p AND ifeh.o = sdv.o
+LEFT JOIN ifc ON ifc.fp = sdv.p
+JOIN ifst ON ifst.p = sdv.p
 """
 
 

@@ -145,3 +145,22 @@ def test_domain_range_path_pruning(spark, graph):
     # and pruning is strictly tighter than the untyped BFS
     untyped = patybred.enumerate_paths(graph.triples, 4)
     assert len(d2) <= sum(1 for p in untyped.paths if len(p) == 2)
+
+
+def test_iforest_parity_and_semantics(spark, duck, graph, raw_cte):
+    """M5 'if' variant: deterministic isolation forest — exact oracle
+    parity (fit reproduced Spark-free, intervals embedded as VALUES), the
+    wrapper's gating shape, and the core IF property that rarer (more
+    isolated) low scores get shorter paths → lower decision values."""
+    from tests.conftest import SF_TINY
+
+    sdv = scoring.sdvalidate_scores(graph.triples, graph.types) \
+        .withColumn("score", F.round("score", 6))
+    got = evalops.iforest_outlier(sdv)
+    assert_df_equal(
+        got, duck.execute(evalops.iforest_outlier_sql(raw_cte, SF_TINY)))
+    assert got.where("adj_score > 1.0").count() == 0
+    rows = got.where("adj_score < 1.0").collect()
+    assert rows, "no below-mean facts got a decision value"
+    # decision = 0.5 - 2^(-E[h]/c(n)) is bounded in (-0.5, 0.5)
+    assert all(-0.5 <= r["adj_score"] < 0.5 for r in rows)
