@@ -65,23 +65,22 @@ def file_entity() -> F.Column:
 def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
     """repo_files → distinct (subj, pred, obj) string triples.
 
-    ``use_pandas_udf=False`` swaps the mention detectors for Spark's JVM-side
-    ``regexp_extract_all`` (identical semantics, no Python worker boundary) —
-    the fast path when regexes suffice; the pandas-UDF path is the general
-    mention-detection hook (tokenizers, tree-sitter, …).
+    SINGLE-SCAN plan: one projection builds every mention array (two
+    structural arms + four content detectors), concatenated into one
+    array of (subj, pred, obj) structs and exploded once — the source
+    (and its wide ``content`` column) is read exactly once per row,
+    instead of once per relation arm. The only shuffle is the final
+    dedup.
+
+    ``use_pandas_udf=False`` swaps the import/define mention detectors
+    for Spark's JVM-side ``regexp_extract_all`` (identical semantics, no
+    Python worker boundary) — the fast path when regexes suffice; the
+    pandas-UDF path is the general mention-detection hook (tokenizers,
+    tree-sitter, …). The file→file detectors (rich corpus) are plain
+    path tokens and always run JVM-side; repo-relative targets resolve
+    to the mentioning file's own repo.
     """
     fe = file_entity()
-
-    contains = repo_files.select(
-        F.concat(F.lit("repo:"), F.col("repo")).alias("subj"),
-        F.lit("contains").alias("pred"),
-        fe.alias("obj"),
-    )
-    written_in = repo_files.select(
-        fe.alias("subj"),
-        F.lit("written_in").alias("pred"),
-        F.concat(F.lit("lang:"), F.col("lang")).alias("obj"),
-    )
 
     if use_pandas_udf:
         imp_arr = extract_imports(F.col("content"))
@@ -89,35 +88,34 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataF
     else:
         imp_arr = F.expr(f"regexp_extract_all(content, '{IMPORT_PATTERN}', 1)")
         def_arr = F.expr(f"regexp_extract_all(content, '{DEFINE_PATTERN}', 1)")
+    inc_arr = F.expr(f"regexp_extract_all(content, '{INCLUDE_PATTERN}', 1)")
+    tst_arr = F.expr(f"regexp_extract_all(content, '{TESTEDBY_PATTERN}', 1)")
 
-    imports = (
-        repo_files.select(fe.alias("subj"), F.explode(imp_arr).alias("m"))
-        .select("subj", F.lit("imports").alias("pred"), F.concat(F.lit("module:"), F.col("m")).alias("obj"))
+    def triple(subj, pred: str, obj):
+        return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"),
+                        obj.alias("obj"))
+
+    fixed = F.array(
+        triple(F.concat(F.lit("repo:"), F.col("repo")), "contains", fe),
+        triple(fe, "written_in", F.concat(F.lit("lang:"), F.col("lang"))),
     )
-    defines = (
-        repo_files.select(fe.alias("subj"), F.explode(def_arr).alias("m"))
-        .select("subj", F.lit("defines").alias("pred"), F.concat(F.lit("sym:"), F.col("m")).alias("obj"))
+    own_file = F.concat(F.lit("file:"), F.col("repo"), F.lit("/"))
+    mentions = F.concat(
+        fixed,
+        F.transform(imp_arr, lambda m: triple(
+            fe, "imports", F.concat(F.lit("module:"), m))),
+        F.transform(def_arr, lambda m: triple(
+            fe, "defines", F.concat(F.lit("sym:"), m))),
+        F.transform(inc_arr, lambda m: triple(
+            fe, "includes", F.concat(own_file, m))),
+        F.transform(tst_arr, lambda m: triple(
+            fe, "tested_by", F.concat(own_file, m))),
     )
-
-    # file→file mentions (JVM regexp — no Python worker boundary needed
-    # for a plain path token); repo-relative targets resolve to the
-    # mentioning file's own repo.
-    def _file_rel(pattern: str, pred: str) -> DataFrame:
-        arr = F.expr(f"regexp_extract_all(content, '{pattern}', 1)")
-        return (
-            repo_files.select("repo", fe.alias("subj"),
-                              F.explode(arr).alias("m"))
-            .select("subj", F.lit(pred).alias("pred"),
-                    F.concat(F.lit("file:"), F.col("repo"), F.lit("/"),
-                             F.col("m")).alias("obj"))
-        )
-
-    includes = _file_rel(INCLUDE_PATTERN, "includes")
-    tested_by = _file_rel(TESTEDBY_PATTERN, "tested_by")
-
-    return (contains.unionByName(written_in).unionByName(imports)
-            .unionByName(defines).unionByName(includes)
-            .unionByName(tested_by).distinct())
+    return (
+        repo_files.select(F.explode(mentions).alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+        .distinct()
+    )
 
 
 # Default deny-list: mention analog of the reference's ontology-namespace
