@@ -230,29 +230,44 @@ def symspell_pairs(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame
 from pyspark.sql.types import IntegerType  # noqa: E402  (session-free type)
 
 
+def osa_distance(x: str, y: str) -> int:
+    """Optimal-string-alignment Damerau-Levenshtein (adjacent
+    transpositions, no substring reuse) — the reference's exact algorithm
+    (/root/reference/util.py:16-57, the classic two-rows-ago DP).
+
+    NOTE on oracle semantics: DuckDB's built-in ``damerau_levenshtein``
+    is the UNRESTRICTED distance, which can be smaller than OSA when a
+    transposition composes with another edit in the same region (e.g.
+    'ca'→'abc': OSA 3, unrestricted 2; identical for all distances ≤ 1
+    and whenever no such composition exists). The deterministic fixture
+    corpus contains no divergent pair at any blocking-candidate site —
+    pinned by tests/test_link.py::test_osa_matches_duckdb_on_fixture —
+    so every dist ≤ 2 oracle comparison is exact.
+    """
+    if x == y:
+        return 0
+    lx, ly = len(x), len(y)
+    prev2, prev = None, list(range(ly + 1))
+    for i in range(1, lx + 1):
+        cur = [i] + [0] * ly
+        for j in range(1, ly + 1):
+            cost = 0 if x[i - 1] == y[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and x[i - 1] == y[j - 2]
+                    and x[i - 2] == y[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+    return prev[ly]
+
+
 @F.pandas_udf(IntegerType())
 def damerau_levenshtein_udf(a, b):
-    """Exact Damerau-Levenshtein (with transpositions) — the reference's
-    dameraulevenshtein at /root/reference/util.py:16-57, vectorized."""
+    """Exact OSA Damerau-Levenshtein, Arrow-vectorized (see
+    osa_distance for reference + oracle semantics)."""
     import pandas as pd
 
-    def dl(x: str, y: str) -> int:
-        if x == y:
-            return 0
-        lx, ly = len(x), len(y)
-        prev2, prev = None, list(range(ly + 1))
-        for i in range(1, lx + 1):
-            cur = [i] + [0] * ly
-            for j in range(1, ly + 1):
-                cost = 0 if x[i - 1] == y[j - 1] else 1
-                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-                if (i > 1 and j > 1 and x[i - 1] == y[j - 2]
-                        and x[i - 2] == y[j - 1]):
-                    cur[j] = min(cur[j], prev2[j - 2] + cost)
-            prev2, prev = prev, cur
-        return prev[ly]
-
-    return pd.Series([dl(x, y) for x, y in zip(a, b)], dtype="int32")
+    return pd.Series([osa_distance(x, y) for x, y in zip(a, b)],
+                     dtype="int32")
 
 
 def dl_pairs(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame:

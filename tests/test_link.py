@@ -70,3 +70,30 @@ def test_connected_components_chain(spark):
     )
     comp = {r["node"]: r["comp"] for r in link.connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_osa_matches_duckdb_on_fixture(duck):
+    """OSA (the reference's restricted Damerau-Levenshtein, our UDF) vs
+    DuckDB's UNRESTRICTED builtin: the two can diverge when a
+    transposition composes with another edit ('ca'→'abc': OSA 3, DL 2).
+    Every dist-annotated oracle comparison is exact ONLY while no blocked
+    candidate pair diverges — assert that invariant over ALL delete-
+    variant-blocked entity-name pairs of BOTH corpora (the superset of
+    every site that compares a distance ≤ 2)."""
+    from kgspark import correct, typesys
+    from kgspark.link import osa_distance
+
+    assert osa_distance("ca", "abc") == 3  # the divergent class exists...
+    for rich in (False, True):
+        raw = extract.triples_raw_sql(
+            synth.repo_files_rich_sql("duckdb") if rich
+            else synth.repo_files_sql("duckdb"))
+        rows = duck.execute(
+            f"WITH {typesys.kg_ctes(raw)}, {correct.name_candidates_ctes(99)} "
+            "SELECT DISTINCT l.cnorm AS na, r.cnorm AS nb, "
+            "       damerau_levenshtein(l.cnorm, r.cnorm) AS d "
+            "FROM cvars l JOIN cvars r ON l.var = r.var AND l.id <> r.id"
+        ).fetchall()
+        assert rows
+        bad = [(na, nb) for na, nb, d in rows if osa_distance(na, nb) != d]
+        assert not bad, f"divergent blocked pairs (rich={rich}): {bad[:5]}"
