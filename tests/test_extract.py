@@ -86,3 +86,52 @@ def test_sha256_invariant(spark, duck):
         + synth.repo_files_sql("duckdb") + ")"
     )
     assert_df_equal(got, want)
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """Incremental extraction (Structured Streaming, availableNow) over a
+    two-drop corpus must produce exactly the batch extraction's distinct
+    triple set, across restarts (exactly-once via the stream checkpoint)."""
+    from kgspark import streaming
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rf = synth.repo_files(spark, SF_TINY)
+    a, b = rf.where("repo < 'org15'"), rf.where("repo >= 'org15'")
+    a.write.parquet(src)
+
+    streaming.run_extraction_stream(spark, src, out, ck)
+    got1 = spark.read.parquet(out).select("subj", "pred", "obj").distinct()
+    want1 = extract.extract_triples(a)
+    assert got1.exceptAll(want1).count() == 0
+    assert want1.exceptAll(got1).count() == 0
+
+    # second drop lands; a NEW stream run (restart) picks up only it
+    b.write.mode("append").parquet(src)
+    streaming.run_extraction_stream(spark, src, out, ck)
+    got2 = spark.read.parquet(out).select("subj", "pred", "obj").distinct()
+    want2 = extract.extract_triples(rf)
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+
+
+def test_streaming_foreach_batch_compaction(spark, tmp_path):
+    """foreachBatch hook: per-batch deduped triples reach the compaction
+    callback; union of batches covers the batch extraction."""
+    from kgspark import streaming
+
+    src = str(tmp_path / "src2")
+    ck = str(tmp_path / "ck2")
+    rf = synth.repo_files(spark, SF_TINY)
+    rf.write.parquet(src)
+    seen = []
+
+    streaming.foreach_batch(
+        spark, src, ck,
+        lambda df, bid: seen.append(df.toPandas()))
+    import pandas as pd
+
+    got = pd.concat(seen).drop_duplicates().reset_index(drop=True)
+    want = extract.extract_triples(rf).toPandas()
+    assert len(got) == len(want)
