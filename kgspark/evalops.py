@@ -198,14 +198,40 @@ def iforest_outlier(scored: DataFrame, score_col: str = "score") -> DataFrame:
 
     if not intervals:
         return zscore_outlier(scored, score_col)
-    idf = F.broadcast(spark.createDataFrame(
-        intervals, "p int, tree int, lo double, hi double, h double"))
+    # Per-relation nested arrays instead of an interval JOIN: joining
+    # facts to the leaf table on the range predicate compiles to a
+    # broadcast nested-loop join that GENERATES |facts| × |leaves| rows
+    # before filtering — 10^13 at a 10^9-fact corpus. Packing each
+    # relation's forest as (cuts[tree], hs[tree]) arrays makes scoring a
+    # 4-row broadcast equi-join + whole-stage-codegen array lookups:
+    # leaf index = #cuts ≤ score (the same ~trees×leaves comparisons a
+    # forest evaluation inherently costs, with no row explosion).
+    by_p: dict[int, dict[int, list]] = {}
+    for p, t, lo, hi, h in intervals:
+        by_p.setdefault(p, {}).setdefault(t, []).append((lo, hi, h))
+    arr_rows = []
+    for p, trees in sorted(by_p.items()):
+        cuts, hs = [], []
+        for t in sorted(trees):
+            leaves = sorted(trees[t])
+            cuts.append([lo for lo, _, _ in leaves[1:]])  # drop -inf
+            hs.append([h for _, _, h in leaves])
+        arr_rows.append((p, cuts, hs))
+    adf = F.broadcast(spark.createDataFrame(
+        arr_rows,
+        "p int, cuts array<array<double>>, hs array<array<double>>"))
     cdf = F.broadcast(spark.createDataFrame(cns, "p int, cn double"))
 
-    hit = scored.join(idf, "p").where(
-        (F.col(score_col) >= F.col("lo")) & (F.col(score_col) < F.col("hi")))
-    eh = hit.groupBy(*scored.columns).agg(F.avg("h").alias("_eh"))
-    j = scored.join(eh, scored.columns, "left") \
+    x = F.col(score_col)
+    n_trees = F.size("cuts")
+    tree_h = F.zip_with(
+        "cuts", "hs",
+        lambda c, h: F.element_at(
+            h, (F.size(F.filter(c, lambda b: b <= x)) + 1).cast("int")))
+    eh = (F.aggregate(tree_h, F.lit(0.0), lambda acc, v: acc + v)
+          / n_trees.cast("double"))
+    j = scored.join(adf, "p", "left") \
+        .withColumn("_eh", F.when(F.col("cuts").isNotNull(), eh)) \
         .join(cdf, "p", "left").join(F.broadcast(stats), "p")
     s_if = F.pow(F.lit(2.0), -F.col("_eh") / F.col("cn"))
     dec = F.lit(0.5) - s_if
