@@ -269,6 +269,22 @@ def _rich_raw() -> str:
     return _RICH_RAW_CTE
 
 
+def _q_stream_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming extraction drained with availableNow into a
+    parquet triple log, read back and deduped — must equal the BATCH
+    extraction exactly (same oracle SQL as kg_triples_raw)."""
+    import os
+    import tempfile
+
+    from kgspark import streaming
+
+    tmp = tempfile.mkdtemp(prefix="kgstream_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    synth.repo_files(spark, sf).write.parquet(src)
+    streaming.run_extraction_stream(spark, src, out, ck)
+    return spark.read.parquet(out).select("subj", "pred", "obj").distinct()
+
+
 def _q_rich_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract.extract_triples(synth.repo_files_rich(spark, sf))
 
@@ -513,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": _q_media_meta,
         "mm_media_features": _q_media_features,
         # round-3 additions, deliberately last (see module docstring)
+        "kg_stream_triples_raw": _q_stream_triples,
         "kg_iforest_outlier": _q_iforest,
         "kg_corrections_excl": _q_corrections_excl,
         "kg_type_corrections_learned": _q_type_corrections_learned,
@@ -605,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mad_outlier": evalops.mad_outlier_sql(raw),
         "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
         "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
+        "kg_stream_triples_raw": raw,
         "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
         "kg_word_freq": evalops.word_freq_sql(raw),
         "kg_symspell_pairs": link.symspell_pairs_sql(raw),
