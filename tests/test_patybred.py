@@ -408,3 +408,28 @@ def test_learned_type_predictor_restores_dropped_types(spark):
     dropped = {(r["e"], r["t"]) for r in
                g.types.join(tyx, ["e", "t"], "left_anti").collect()}
     assert all((r["o"], r["t_new"]) in dropped for r in res)
+
+
+def test_pra_negatives_partition_invariance(spark, graph, idx):
+    """The grouped-ordinal PRA ranking must be independent of input
+    partitioning (range boundaries come from sampling, but the rank is a
+    pure function of the total order)."""
+    a = patybred.generate_negatives_pra(graph.triples.repartition(1), idx)
+    b = patybred.generate_negatives_pra(graph.triples.repartition(16), idx)
+    sa = {(r["s"], r["p"], r["o"]) for r in a.collect()}
+    sb = {(r["s"], r["p"], r["o"]) for r in b.collect()}
+    assert sa == sb and sa
+
+
+def test_iforest_partition_invariance(spark, graph):
+    """The isolation-forest sample (hash-ordered grouped ordinal) and
+    therefore every adjusted score must not depend on partitioning."""
+    from kgspark import evalops, scoring
+
+    sdv = scoring.sdvalidate_scores(graph.triples, graph.types) \
+        .withColumn("score", F.round("score", 6))
+    a = evalops.iforest_outlier(sdv.repartition(1))
+    b = evalops.iforest_outlier(sdv.repartition(16))
+    ka = {(r["s"], r["p"], r["o"]): r["adj_score"] for r in a.collect()}
+    kb = {(r["s"], r["p"], r["o"]): r["adj_score"] for r in b.collect()}
+    assert ka == kb and ka
