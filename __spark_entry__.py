@@ -138,6 +138,24 @@ def _q_paths_depth2(spark: SparkSession, sf: str) -> DataFrame:
     return df if rows else df.limit(0)
 
 
+# W5 beam width for the driver check — small enough to actually prune
+# the depth-2 candidate set on the 4-relation corpus.
+BEAM_N = 4
+
+
+def _q_paths_depth2_beam(spark: SparkSession, sf: str) -> DataFrame:
+    """Depth-2 path supports under the top-N relevance beam (W5)."""
+    g = pipeline.build_graph(spark, sf)
+    idx = patybred.enumerate_paths(
+        g.triples, g.relations.count(),
+        max_paths_per_level=BEAM_N, path_selection_mode="inter")
+    rows = [(p[0], p[1], s) for p, s in sorted(idx.supports.items())
+            if len(p) == 2]
+    df = spark.createDataFrame(rows or [(0, 0, 0)],
+                               "p1 int, p2 int, support bigint")
+    return df if rows else df.limit(0)
+
+
 def _q_patybred_negatives(spark: SparkSession, sf: str) -> DataFrame:
     g = pipeline.build_graph(spark, sf)
     pos = patybred.sample_positives(g.triples)
@@ -529,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_meta": _q_media_meta,
         "mm_media_features": _q_media_features,
         # round-3 additions, deliberately last (see module docstring)
+        "kg_paths_depth2_beam": _q_paths_depth2_beam,
         "kg_stream_triples_raw": _q_stream_triples,
         "kg_iforest_outlier": _q_iforest,
         "kg_corrections_excl": _q_corrections_excl,
@@ -623,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
         "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
         "kg_stream_triples_raw": raw,
+        "kg_paths_depth2_beam": patybred.paths_depth2_beam_sql(raw, BEAM_N),
         "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
         "kg_word_freq": evalops.word_freq_sql(raw),
         "kg_symspell_pairs": link.symspell_pairs_sql(raw),

@@ -1013,6 +1013,45 @@ paths2 AS (
 """
 
 
+def paths_depth2_beam_sql(triples_cte: str, beam: int,
+                          R: int = R_CONST, min_sup: int = MIN_SUP,
+                          max_nnz: int = MAX_NNZ) -> str:
+    """Oracle for enumerate_paths with a top-N beam per level (W5,
+    path_selection_mode='inter'): depth-2 candidates are ranked by the
+    endpoint-overlap relevance |cols(p1) ∩ rows(p2)| (reference
+    patybred.py:97-138, mode 'inter'; zero-overlap candidates rank 0),
+    ties broken by the path tuple, and only the top ``beam`` compose —
+    exactly the Spark-side pruning order."""
+    from kgspark.typesys import kg_ctes
+
+    ip1, ip2 = _inv_sql("p1", R), _inv_sql("p2", R)
+    return f"""
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R, min_sup, max_nnz)},
+crel AS (
+  SELECT c.p1, c.p2,
+         (SELECT count(DISTINCT a.o) FROM aug a
+          WHERE a.p = c.p1
+            AND EXISTS (SELECT 1 FROM aug b
+                        WHERE b.p = c.p2 AND b.s = a.o)) AS rel
+  FROM cand2 c),
+keepc AS (
+  SELECT p1, p2 FROM (
+    SELECT p1, p2,
+           row_number() OVER (ORDER BY rel DESC, p1, p2) AS rn
+    FROM crel) z WHERE rn <= {beam}),
+bpp2 AS (
+  SELECT c.p1, c.p2, a.s, b.o
+  FROM keepc c JOIN aug a ON a.p = c.p1
+  JOIN aug b ON b.p = c.p2 AND b.s = a.o
+  GROUP BY c.p1, c.p2, a.s, b.o),
+bpaths2 AS (
+  SELECT p1, p2, count(*) AS support FROM bpp2 GROUP BY p1, p2
+  HAVING count(*) >= {min_sup} AND count(*) < {max_nnz})
+SELECT p1, p2, support FROM bpaths2
+UNION ALL SELECT {ip2} AS p1, {ip1} AS p2, support FROM bpaths2
+"""
+
+
 def memb_ctes(R: int = R_CONST) -> str:
     """Shared path-membership CTE (``memb``), appended after paths_ctes.
 
