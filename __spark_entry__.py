@@ -54,6 +54,15 @@ def _q_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract.extract_triples(synth.repo_files(spark, sf))
 
 
+# S2 demo deny-list: prefixes that actually drop triples on this corpus
+# (the default stdlib-ish list matches nothing the fixture extracts).
+DENY = ("module:mod_9", "sym:Cls1")
+
+
+def _q_triples_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    return extract.filter_entities(_q_triples(spark, sf), DENY)
+
+
 def _q_entities(spark: SparkSession, sf: str) -> DataFrame:
     return pipeline.build_graph(spark, sf).entities
 
@@ -160,6 +169,13 @@ def _q_patybred_negatives(spark: SparkSession, sf: str) -> DataFrame:
     g = pipeline.build_graph(spark, sf)
     pos = patybred.sample_positives(g.triples)
     return patybred.generate_negatives(pos, g.triples, g.n_entities)
+
+
+def _q_patybred_negatives_nbh(spark: SparkSession, sf: str) -> DataFrame:
+    g = pipeline.build_graph(spark, sf)
+    pos = patybred.sample_positives(g.triples)
+    return patybred.generate_negatives_neighborhood(
+        pos, g.triples, g.n_entities)
 
 
 def _q_patybred_negatives_pra(spark: SparkSession, sf: str) -> DataFrame:
@@ -548,6 +564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_media_features,
         # round-3 additions, deliberately last (see module docstring)
         "kg_paths_depth2_beam": _q_paths_depth2_beam,
+        "kg_triples_filtered": _q_triples_filtered,
+        "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
         "kg_stream_triples_raw": _q_stream_triples,
         "kg_iforest_outlier": _q_iforest,
         "kg_corrections_excl": _q_corrections_excl,
@@ -643,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
         "kg_stream_triples_raw": raw,
         "kg_paths_depth2_beam": patybred.paths_depth2_beam_sql(raw, BEAM_N),
+        "kg_triples_filtered": extract.filtered_triples_sql(
+            synth.repo_files_sql("duckdb"), DENY),
+        "kg_patybred_negatives_nbh": patybred.negatives_nbh_sql(raw),
         "kg_link_prediction_eval": evalops.link_prediction_eval_sql(raw),
         "kg_word_freq": evalops.word_freq_sql(raw),
         "kg_symspell_pairs": link.symspell_pairs_sql(raw),

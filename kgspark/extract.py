@@ -173,8 +173,15 @@ SELECT DISTINCT subj, pred, obj FROM uni
 
 def filtered_triples_sql(repo_files_cte: str,
                          deny_prefixes: tuple[str, ...] = DENY_PREFIXES) -> str:
+    def lk(p: str) -> str:
+        # LIKE treats _ and % as wildcards; the deny list is LITERAL
+        # prefixes (Spark-side startswith), so escape both
+        esc = p.replace("\\", "\\\\").replace("_", "\\_").replace("%", "\\%")
+        return f"'{esc}%' ESCAPE '\\'"
+
     conds = " AND ".join(
-        f"subj NOT LIKE '{p}%' AND obj NOT LIKE '{p}%'" for p in deny_prefixes
+        f"subj NOT LIKE {lk(p)} AND obj NOT LIKE {lk(p)}"
+        for p in deny_prefixes
     )
     return (f"WITH t0 AS ({triples_raw_sql(repo_files_cte)}) "
             f"SELECT subj, pred, obj FROM t0 WHERE {conds}")

@@ -1013,6 +1013,61 @@ paths2 AS (
 """
 
 
+def negatives_nbh_sql(triples_cte: str, R: int = R_CONST,
+                      cap: int = MAX_POS_TRAIN,
+                      p_random: float = 0.01) -> str:
+    """Exact oracle for generate_negatives_neighborhood (R2): the
+    per-subject candidate pool numbered by (s, o) order, hash-picked
+    index join, 1% fully-random branch, bounded-attempt rejection."""
+    from kgspark.hashing import sql_phash32, sql_puniform
+    from kgspark.typesys import kg_ctes
+
+    key_sub = ("concat_ws('|', 'pbsub', CAST(s AS VARCHAR), "
+               "CAST(p AS VARCHAR), CAST(o AS VARCHAR))")
+    key_rand = ("concat_ws('|', 'nbrand', CAST(s AS VARCHAR), "
+                "CAST(p AS VARCHAR), CAST(o AS VARCHAR))")
+    key_neg = ("concat_ws('|', 'nbneg', CAST(s AS VARCHAR), "
+               "CAST(p AS VARCHAR), CAST(o AS VARCHAR), "
+               "CAST(a AS VARCHAR))")
+    return f"""
+WITH {kg_ctes(triples_cte)},
+ne AS (SELECT count(*) AS n FROM ent),
+pos AS (
+  SELECT s, p, o FROM (
+    SELECT s, p, o, row_number() OVER (
+      PARTITION BY p ORDER BY {sql_puniform(key_sub, 'duckdb')}, s, o) AS rn
+    FROM enc) x WHERE rn <= {cap}),
+npool AS (SELECT DISTINCT s, o FROM enc),
+ngsz AS (SELECT s, count(*) AS gsz FROM npool GROUP BY s),
+nmem AS (SELECT s, o, row_number() OVER (PARTITION BY s ORDER BY o) AS midx
+         FROM npool),
+nbsel AS (SELECT pos.*, ngsz.gsz FROM pos JOIN ngsz ON ngsz.s = pos.s),
+nbatt AS (
+  SELECT nbsel.*, a FROM nbsel,
+    (SELECT unnest(generate_series(0, {MAX_ATTEMPTS - 1})) AS a) ats),
+nbidx AS (
+  SELECT s, p, o, a, gsz,
+         ({sql_phash32(key_neg, 'duckdb')} % gsz) + 1 AS midx,
+         {sql_puniform(key_rand, 'duckdb')} < {p_random} AS ur,
+         ({sql_phash32(key_neg, 'duckdb')} % (SELECT n FROM ne)) + 1 AS rnd
+  FROM nbatt),
+nbpick AS (
+  SELECT nbidx.s, nbidx.p, nbidx.o AS orig_o, nbidx.a,
+         CASE WHEN nbidx.ur THEN nbidx.rnd ELSE nmem.o END AS o
+  FROM nbidx JOIN nmem ON nmem.s = nbidx.s AND nmem.midx = nbidx.midx),
+nbvalid AS (
+  SELECT * FROM nbpick
+  WHERE o <> orig_o
+    AND NOT EXISTS (SELECT 1 FROM enc
+                    WHERE enc.s = nbpick.s AND enc.p = nbpick.p
+                      AND enc.o = nbpick.o)),
+nbbest AS (SELECT s, p, orig_o, min(a) AS a FROM nbvalid
+           GROUP BY s, p, orig_o)
+SELECT DISTINCT v.s, v.p, v.o
+FROM nbvalid v JOIN nbbest USING (s, p, orig_o, a)
+"""
+
+
 def paths_depth2_beam_sql(triples_cte: str, beam: int,
                           R: int = R_CONST, min_sup: int = MIN_SUP,
                           max_nnz: int = MAX_NNZ) -> str:
