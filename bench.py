@@ -34,7 +34,8 @@ def _e2e(spark, rf, p_error=0.05):
 
     t = {}
     t0 = time.time()
-    tr_raw = materialize(extract.extract_triples(rf))
+    # bench corpus is the base variant (no file→file mention lines)
+    tr_raw = materialize(extract.extract_triples(rf, file_mentions=False))
     t["extract"] = time.time() - t0
 
     t0 = time.time()

@@ -53,8 +53,28 @@ _DELETES_EXPR = (
 )
 
 
+MIN_BUCKET_CAP = 64
+
+
+def auto_max_bucket(n_entities: int) -> int:
+    """Scale-default SymSpell hot-bucket cap: max(64, 8·⌈log2 n⌉).
+
+    A delete-variant shared by B names costs B² candidate pairs but
+    carries no typo signal beyond the handful of true near-names a real
+    entity has, so the cap needs to grow only logarithmically with the
+    dictionary. The floor keeps every fixture bucket (max 19 at sf0.1)
+    untouched — driver oracles are bit-identical — while a naive caller
+    at 10^9 entities gets ≤ 240² pairs per hot bucket instead of
+    |bucket|². Same derive-from-corpus-size policy as
+    simsearch.auto_band_planes.
+    """
+    import math
+
+    return max(MIN_BUCKET_CAP, 8 * math.ceil(math.log2(max(2, n_entities))))
+
+
 def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None | str = "auto") -> DataFrame:
     """→ (a, b, dist): entity-id pairs with similar names, both directions.
 
     SymSpell distance-1 delete variants block the candidates (recall 1.0
@@ -64,9 +84,12 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
     ``max_bucket`` drops delete-variant buckets with more members than
     the cap BEFORE the self-join — the standard SymSpell guard against
     hot buckets (a variant shared by thousands of names carries no typo
-    signal but costs |bucket|² pairs). None = exact blocking (the
-    driver-checked configuration); set at 10^12-file scale.
+    signal but costs |bucket|² pairs). Default ``"auto"`` derives the
+    cap from the dictionary size (:func:`auto_max_bucket` — above every
+    fixture bucket, so exact blocking there); ``None`` = uncapped.
     """
+    if max_bucket == "auto":
+        max_bucket = auto_max_bucket(entities.count())
     m = entities.select(
         F.col("id"),
         F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("norm"))

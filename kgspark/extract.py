@@ -62,7 +62,8 @@ def file_entity() -> F.Column:
     return F.concat(F.lit("file:"), F.col("repo"), F.lit("/"), F.col("path"))
 
 
-def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
+def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True,
+                    file_mentions: bool | None = None) -> DataFrame:
     """repo_files → distinct (subj, pred, obj) string triples.
 
     SINGLE-SCAN plan: one projection builds every mention array (two
@@ -79,6 +80,16 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataF
     tree-sitter, …). The file→file detectors (rich corpus) are plain
     path tokens and always run JVM-side; repo-relative targets resolve
     to the mentioning file's own repo.
+
+    ``file_mentions`` gates the two file→file detectors (includes /
+    tested_by — only the RICH fixture content produces them):
+    * ``None`` (default): auto — each regex runs only on rows passing a
+      cheap ``contains(content, token)`` pre-filter (the regex requires
+      the literal token, so output is identical; non-matching corpora
+      pay a substring scan instead of two full regex passes).
+    * ``False``: arms off entirely (zero cost — for corpora known to
+      carry no file-mention lines, e.g. the base pipeline variant).
+    * ``True``: unconditional regex (rich-corpus pipelines).
     """
     fe = file_entity()
 
@@ -88,8 +99,17 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True) -> DataF
     else:
         imp_arr = F.expr(f"regexp_extract_all(content, '{IMPORT_PATTERN}', 1)")
         def_arr = F.expr(f"regexp_extract_all(content, '{DEFINE_PATTERN}', 1)")
-    inc_arr = F.expr(f"regexp_extract_all(content, '{INCLUDE_PATTERN}', 1)")
-    tst_arr = F.expr(f"regexp_extract_all(content, '{TESTEDBY_PATTERN}', 1)")
+    empty = F.array().cast("array<string>")
+    if file_mentions is False:
+        inc_arr = tst_arr = empty
+    else:
+        inc_arr = F.expr(f"regexp_extract_all(content, '{INCLUDE_PATTERN}', 1)")
+        tst_arr = F.expr(f"regexp_extract_all(content, '{TESTEDBY_PATTERN}', 1)")
+        if file_mentions is None:  # auto: token pre-filter guards the regex
+            inc_arr = F.when(F.contains("content", F.lit("include")),
+                             inc_arr).otherwise(empty)
+            tst_arr = F.when(F.contains("content", F.lit("testedby")),
+                             tst_arr).otherwise(empty)
 
     def triple(subj, pred: str, obj):
         return F.struct(subj.alias("subj"), F.lit(pred).alias("pred"),

@@ -110,6 +110,16 @@ def merge_equivalent_types(types: DataFrame, equivalences: DataFrame) -> DataFra
     return mapped.distinct()
 
 
+def lang_equivalences(type_names: DataFrame) -> DataFrame:
+    """Demo U1 equivalence set: every ``lang:*`` type is declared
+    equivalent to the minimum-id lang type (the analog of owl:equivalentClass
+    pairs the reference merges, load_kb.py:191-196) → (t_from, t_into)."""
+    langs = type_names.where(F.col("name").startswith("lang:"))
+    tgt = langs.agg(F.min("t")).first()[0]
+    return langs.where(F.col("t") != tgt).select(
+        F.col("t").alias("t_from"), F.lit(tgt).cast("int").alias("t_into"))
+
+
 def omnipresent_types(types: DataFrame, n_entities: int) -> DataFrame:
     """A10: types held by every entity (generate_errors.py:27-28)."""
     return (
@@ -159,6 +169,22 @@ SELECT DISTINCT ename, t_name FROM (
   SELECT tr.subj AS ename, dom.t_name FROM tr JOIN dom USING (pred)
   UNION ALL
   SELECT tr.obj, ran.t_name FROM tr JOIN ran USING (pred))
+"""
+
+
+def types_merged_sql(triples_cte: str) -> str:
+    """Oracle for merge_equivalent_types ∘ lang_equivalences: map every
+    lang:* type id onto the minimum lang id, dedupe memberships."""
+    from kgspark.typesys import kg_ctes
+
+    return f"""
+WITH {kg_ctes(triples_cte)},
+lteq AS (SELECT t FROM tn WHERE name LIKE 'lang:%'),
+ltmin AS (SELECT min(t) AS tgt FROM tn WHERE name LIKE 'lang:%')
+SELECT DISTINCT e,
+       CASE WHEN t IN (SELECT t FROM lteq) THEN (SELECT tgt FROM ltmin)
+            ELSE t END AS t
+FROM ty
 """
 
 

@@ -49,16 +49,83 @@ def media_meta(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str):  # pragma: no cover - stub
-    """STUB: real decoders (PIL/libav/opencv) are not in this container.
+def decode_media(payload: bytes, kind: str) -> dict:
+    """Header-only media probe: container format + dimensions / stream
+    params via pure-python ``struct`` reads over the leading bytes (no
+    codec libraries). Covers PNG, JPEG (SOF marker walk), GIF, BMP
+    images and RIFF/WAVE audio.
 
-    The Spark-side plumbing calls :func:`fake_features` instead; swap this
-    in when the codec libraries exist.
+    Returns ``{"format", "width", "height"}`` for images and
+    ``{"format", "channels", "sample_rate"}`` for WAV. Unrecognized
+    payloads raise ``ValueError`` (the caller decides whether to null
+    out or skip). Full pixel/sample decode still needs codec libraries
+    not present in this container — the feature path uses
+    :func:`fake_features` as the deterministic stand-in.
     """
-    raise NotImplementedError(
-        f"media decode for kind={kind!r} requires codec libraries "
-        "not present in this environment"
-    )
+    import struct
+
+    b = payload
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", b[16:24])
+        return {"format": "png", "width": w, "height": h}
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk markers to the first SOFn frame header
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return {"format": "jpeg", "width": w, "height": h}
+            i += 2 + seglen
+        raise ValueError("jpeg payload without SOF frame header")
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return {"format": "bmp", "width": w, "height": abs(h)}
+    if len(b) >= 36 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        channels, rate = struct.unpack("<HI", b[22:28])
+        return {"format": "wav", "channels": channels, "sample_rate": rate}
+    raise ValueError(f"unrecognized media container for kind={kind!r}")
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """mapInPandas header probe over binary payloads →
+    (media_id, kind, format, width, height): real struct-parse decode of
+    container headers; unrecognized payloads yield null fields (the
+    synthetic fixture's text payloads all do — pytest covers crafted
+    real headers)."""
+    schema = ("media_id long, kind string, format string, "
+              "width int, height int")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                try:
+                    m = decode_media(bytes(payload), kind)
+                    fmts.append(m["format"])
+                    ws.append(m.get("width"))
+                    hs.append(m.get("height"))
+                except ValueError:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "kind": pdf["kind"],
+                "format": fmts,
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+            })
+
+    return media.mapInPandas(run, schema)
 
 
 def fake_features(payload: bytes) -> np.ndarray:

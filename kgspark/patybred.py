@@ -181,6 +181,68 @@ def path_relevances(
     return rel
 
 
+def _level_candidates(l_paths, relevant, syms, R, compatible=None):
+    """Next-level composition candidates in generation order: for each
+    current path (sorted) × relevant relation, apply the no-backtrack,
+    symmetric-self-repeat and optional P6 domain/range prunes, then the
+    canonical (inverse-reversed twin) dedup — reference
+    patybred.py:199-253 candidate loop."""
+    candidates: list[tuple[int, ...]] = []
+    seen: set[tuple[int, ...]] = set()
+    for path in sorted(l_paths):
+        last = path[-1]
+        for r2 in relevant:
+            if last == inv(r2, R):
+                continue  # no immediate backtrack
+            if last == r2 and r2 in syms:
+                continue  # no symmetric self-repeat
+            if compatible is not None and not compatible(last, r2):
+                continue  # P6 domain/range pruning
+            new = path + (r2,)
+            canon = tuple(inv(i, R) for i in reversed(new))
+            if new in seen or canon in seen:
+                continue
+            seen.add(new)
+            candidates.append(new)
+    return candidates
+
+
+RELEVANCE_MODES = ("random", "mult", "inter", "m1", "m2")
+
+
+def relevance_table(triples: DataFrame, R: int,
+                    min_sup: int = MIN_SUP,
+                    modes: tuple[str, ...] = RELEVANCE_MODES) -> DataFrame:
+    """J2 as a queryable table: endpoint-overlap relevance of every
+    depth-2 composition candidate under all five reference modes
+    (patybred.py:97-138) → (p1, p2, mode, relevance)."""
+    spark = triples.sparkSession
+    aug = materialize(augmented(triples, R).distinct())
+    syms = symmetric_relations(triples)
+    relevant = [p for p in range(1, 2 * R + 1)
+                if not (p > R and (p - R) in syms)]
+    sup1 = {r["p"]: r["cnt"] for r in
+            aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
+    paths: dict[tuple[int, ...], DataFrame] = {}
+    supports: dict[tuple[int, ...], int] = {}
+    l_paths: list[tuple[int, ...]] = []
+    for p in relevant:
+        if sup1.get(p, 0) >= min_sup:
+            paths[(p,)] = aug.where(F.col("p") == p).select("s", "o")
+            supports[(p,)] = sup1[p]
+            l_paths.append((p,))
+    cands = _level_candidates(l_paths, relevant, syms, R)
+    pairs = [(c[:-1], c[-1]) for c in cands]
+    rows = []
+    for mode in modes:
+        rel = path_relevances(paths, supports, pairs, mode)
+        rows += [(c[0], c[1], mode, float(rel[c])) for c in cands]
+    df = spark.createDataFrame(
+        rows or [(0, 0, "", 0.0)], "p1 int, p2 int, mode string, relevance double")
+    return (df if rows else df.limit(0)).withColumn(
+        "relevance", F.round("relevance", 6))
+
+
 # Path-BFS memo: the driver re-derives the SAME PathIndex for several
 # queries over the memoized graph (features, negatives, paths); keyed by
 # the identity of the (cached) triples DataFrame so distinct graphs never
@@ -264,23 +326,7 @@ def _enumerate_paths(
 
     depth = 1
     while depth < max_depth and l_paths:
-        candidates: list[tuple[int, ...]] = []
-        seen: set[tuple[int, ...]] = set()
-        for path in sorted(l_paths):
-            last = path[-1]
-            for r2 in relevant:
-                if last == inv(r2, R):
-                    continue  # no immediate backtrack
-                if last == r2 and r2 in syms:
-                    continue  # no symmetric self-repeat
-                if not compatible(last, r2):
-                    continue  # P6 domain/range pruning
-                new = path + (r2,)
-                canon = tuple(inv(i, R) for i in reversed(new))
-                if new in seen or canon in seen:
-                    continue
-                seen.add(new)
-                candidates.append(new)
+        candidates = _level_candidates(l_paths, relevant, syms, R, compatible)
 
         if (max_paths_per_level is not None
                 and len(candidates) > max_paths_per_level):
@@ -968,13 +1014,37 @@ def _inv_sql(col: str, R: int) -> str:
 
 
 def paths_ctes(R: int = R_CONST, min_sup: int = MIN_SUP,
-               max_nnz: int = MAX_NNZ, rel: str = "enc") -> str:
+               max_nnz: int = MAX_NNZ, rel: str = "enc",
+               domran: bool = False) -> str:
     """CTE chain after kg_ctes: aug, syms, singles, cand2, pp2, paths2.
 
     ``rel`` names the fact table the paths are enumerated over (``enc``
     for the clean graph; ``noisyf`` in the end-to-end PaTyBRED oracle,
-    which enumerates over the error-injected graph like the Spark path)."""
-    return f"""
+    which enumerates over the error-injected graph like the Spark path).
+
+    ``domran=True`` adds the P6 domain/range-compatibility prune to the
+    candidate stage (reference patybred.py:73-95): range(p1) must equal
+    domain(p2) unless either is undeclared; inverse relations swap
+    domain and range (patybred.py:191-196). Requires the ``rel`` dim
+    from kg_ctes (relation names → the static DOMAINS/RANGES vocab)."""
+    if domran:
+        from kgspark.hierarchy import DOMAINS, RANGES
+        dr_vals = ", ".join(
+            f"('{k}', '{DOMAINS[k]}', '{RANGES[k]}')" for k in sorted(DOMAINS))
+        dr_ctes = f"""
+drmap(rname, dm, rn) AS (VALUES {dr_vals}),
+dr AS (
+  SELECT CAST(rel.id AS INT) AS p, drmap.dm AS dom, drmap.rn AS ran
+  FROM rel LEFT JOIN drmap ON drmap.rname = rel.name
+  UNION ALL
+  SELECT CAST(rel.id + {R} AS INT), drmap.rn, drmap.dm
+  FROM rel LEFT JOIN drmap ON drmap.rname = rel.name),"""
+        compat = (" AND (d1.ran IS NULL OR d2.dom IS NULL"
+                  " OR d1.ran = d2.dom)")
+        dr_join = " JOIN dr d1 ON d1.p = a.p JOIN dr d2 ON d2.p = b.p"
+    else:
+        dr_ctes, compat, dr_join = "", "", ""
+    return f"""{dr_ctes}
 aug AS (SELECT DISTINCT s, p, o FROM (
   SELECT s, p, o FROM {rel}
   UNION ALL
@@ -994,9 +1064,9 @@ singles AS (
   GROUP BY aug.p HAVING count(*) >= {min_sup}),
 c0 AS (
   SELECT a.p AS p1, b.p AS p2
-  FROM singles a CROSS JOIN rels2 b
+  FROM singles a CROSS JOIN rels2 b{dr_join}
   WHERE a.p <> {_inv_sql('b.p', R)}
-    AND NOT (a.p = b.p AND b.p IN (SELECT p FROM syms))),
+    AND NOT (a.p = b.p AND b.p IN (SELECT p FROM syms)){compat}),
 cand2 AS (
   SELECT p1, p2 FROM c0
   WHERE NOT EXISTS (
@@ -1136,6 +1206,74 @@ def paths_depth2_sql(triples_cte: str, R: int = R_CONST) -> str:
     return (f"WITH {kg_ctes(triples_cte)}, {paths_ctes(R)} "
             "SELECT p1, p2, support FROM paths2 "
             f"UNION ALL SELECT {ip2} AS p1, {ip1} AS p2, support FROM paths2")
+
+
+def paths_depth2_pruned_sql(triples_cte: str, R: int = R_CONST) -> str:
+    """Oracle for enumerate_paths under the P6 domain/range prune
+    (reference patybred.py:73-95): same shape as paths_depth2_sql, but
+    incompatible compositions never become candidates."""
+    from kgspark.typesys import kg_ctes
+
+    ip1, ip2 = _inv_sql("p1", R), _inv_sql("p2", R)
+    return (f"WITH {kg_ctes(triples_cte)}, {paths_ctes(R, domran=True)} "
+            "SELECT p1, p2, support FROM paths2 "
+            f"UNION ALL SELECT {ip2} AS p1, {ip1} AS p2, support FROM paths2")
+
+
+def relevance_sql(triples_cte: str, R: int = R_CONST) -> str:
+    """Oracle for :func:`relevance_table` (J2, reference
+    patybred.py:97-138): per depth-2 candidate and mode —
+    random → 1, mult → support(p1)·support(p2), inter → |cols(p1)∩rows(p2)|,
+    m1 → inter/(|rows(p1)∩cols(p2)|+1), m2 → inter·|rows(p1)∪cols(p2)|;
+    all 0 when the composing endpoint sets don't intersect."""
+    from kgspark.typesys import kg_ctes
+
+    return f"""
+WITH {kg_ctes(triples_cte)}, {paths_ctes(R)},
+colset AS (SELECT DISTINCT p, o AS e FROM aug),
+rowset AS (SELECT DISTINCT p, s AS e FROM aug),
+rinter AS (
+  SELECT c.p1, c.p2, count(*) AS i
+  FROM cand2 c JOIN colset a ON a.p = c.p1
+  JOIN rowset b ON b.p = c.p2 AND b.e = a.e
+  GROUP BY c.p1, c.p2),
+rx1 AS (
+  SELECT c.p1, c.p2, count(*) AS x
+  FROM cand2 c JOIN rowset a ON a.p = c.p1
+  JOIN colset b ON b.p = c.p2 AND b.e = a.e
+  GROUP BY c.p1, c.p2),
+rx2 AS (
+  SELECT p1, p2, count(*) AS x FROM (
+    SELECT c.p1, c.p2, a.e FROM cand2 c JOIN rowset a ON a.p = c.p1
+    UNION
+    SELECT c.p1, c.p2, b.e FROM cand2 c JOIN colset b ON b.p = c.p2)
+  GROUP BY p1, p2),
+rbase AS (
+  SELECT c.p1, c.p2,
+         coalesce(rinter.i, 0) AS i,
+         coalesce(rx1.x, 0) AS x1v,
+         coalesce(rx2.x, 0) AS x2v,
+         sa.support AS s1, sb.support AS s2
+  FROM cand2 c
+  LEFT JOIN rinter ON rinter.p1 = c.p1 AND rinter.p2 = c.p2
+  LEFT JOIN rx1 ON rx1.p1 = c.p1 AND rx1.p2 = c.p2
+  LEFT JOIN rx2 ON rx2.p1 = c.p1 AND rx2.p2 = c.p2
+  JOIN singles sa ON sa.p = c.p1 JOIN singles sb ON sb.p = c.p2)
+SELECT p1, p2, mode, round(relevance, 6) AS relevance FROM (
+  SELECT p1, p2, 'random' AS mode,
+         CASE WHEN i > 0 THEN 1.0 ELSE 0.0 END AS relevance FROM rbase
+  UNION ALL
+  SELECT p1, p2, 'mult',
+         CASE WHEN i > 0 THEN CAST(s1 * s2 AS DOUBLE) ELSE 0.0 END FROM rbase
+  UNION ALL
+  SELECT p1, p2, 'inter', CAST(i AS DOUBLE) FROM rbase
+  UNION ALL
+  SELECT p1, p2, 'm1',
+         CASE WHEN i > 0 THEN i / (x1v + 1.0) ELSE 0.0 END FROM rbase
+  UNION ALL
+  SELECT p1, p2, 'm2',
+         CASE WHEN i > 0 THEN CAST(i * x2v AS DOUBLE) ELSE 0.0 END FROM rbase)
+"""
 
 
 def relation_support_sql(triples_cte: str) -> str:

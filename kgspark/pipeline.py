@@ -60,7 +60,8 @@ def _build_graph(spark: SparkSession, sf_dir: str, cache: bool = True,
 
     rf = (synth.repo_files_rich(spark, sf_dir) if variant == "rich"
           else synth.repo_files(spark, sf_dir))
-    tr_raw = extract.extract_triples(rf)
+    # base corpus carries no file→file mention lines: arms off (zero cost)
+    tr_raw = extract.extract_triples(rf, file_mentions=(variant == "rich"))
     if cache:
         tr_raw = materialize(tr_raw)
     # entity linking + canonicalization (MinHash-LSH blocking + iterative CC)

@@ -165,9 +165,60 @@ def test_media_features_deterministic(spark, docs):
     assert len(v) == multimodal.FEATURE_DIM
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", "image")
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(channels, rate):
+    import struct
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                          rate * channels * 2, channels * 2, 16))
+
+
+def test_decode_media_parses_real_headers():
+    """Pure-struct container probe on crafted PNG/JPEG/GIF/BMP/WAV bytes."""
+    import struct
+    assert multimodal.decode_media(_png(640, 480), "image") == {
+        "format": "png", "width": 640, "height": 480}
+    assert multimodal.decode_media(_jpeg(1920, 1080), "image") == {
+        "format": "jpeg", "width": 1920, "height": 1080}
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert multimodal.decode_media(gif, "image") == {
+        "format": "gif", "width": 320, "height": 200}
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 8
+    assert multimodal.decode_media(bmp, "image") == {
+        "format": "bmp", "width": 800, "height": 600}
+    assert multimodal.decode_media(_wav(2, 44100), "audio") == {
+        "format": "wav", "channels": 2, "sample_rate": 44100}
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"not a media container", "image")
+
+
+def test_media_probe_decodes_planted_payloads(spark):
+    """The mapInPandas probe: crafted headers decode, text payloads null."""
+    rows = [(1, "image", bytearray(_png(64, 32)), "en"),
+            (2, "image", bytearray(_jpeg(16, 8)), "en"),
+            (3, "audio", bytearray(_wav(1, 8000)), "en"),
+            (4, "video", bytearray(b"plain text payload"), "en")]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, src_lang string")
+    got = {r["media_id"]: (r["format"], r["width"], r["height"])
+           for r in multimodal.media_probe(media).collect()}
+    assert got[1] == ("png", 64, 32)
+    assert got[2] == ("jpeg", 16, 8)
+    assert got[3] == ("wav", None, None)
+    assert got[4] == (None, None, None)
 
 
 def test_frame_sample_plumbing(spark, docs):
@@ -229,3 +280,28 @@ def test_type_corrections_properties(spark):
                                  F.col("t").alias("t_new")), ["o", "t_new"])
     assert had.count() == 0  # object lacked the type
     assert tc.where(F.col("new_score") < F.col("score")).count() == 0
+
+
+def test_symspell_auto_bucket_cap(spark):
+    """auto_max_bucket drops hot delete-variant buckets (no typo signal,
+    |bucket|² cost) while fixture-scale buckets (max 19 at sf0.1) sit far
+    under the 64 floor — correction oracles are bit-identical."""
+    from kgspark import correct
+
+    # 100 names that all normalize to 'hub9x': every shared variant
+    # bucket has 100 members > the 64 cap floor
+    rows = [(i, f"hub9x{'!' * (i % 7)}") for i in range(100)]
+    rows += [(200, "alpha"), (201, "alphb"), (202, "gamma_longer")]
+    ents = spark.createDataFrame(rows, "id long, name string")
+    assert correct.auto_max_bucket(103) == 64
+    assert correct.auto_max_bucket(10 ** 9) == 240
+
+    capped = correct.name_candidates(ents).collect()
+    hot = {(r["a"], r["b"]) for r in capped if r["a"] < 200 and r["b"] < 200}
+    assert not hot  # the hot family is guarded out
+    assert (200, 201) in {(r["a"], r["b"]) for r in capped}  # small kept
+
+    uncapped = correct.name_candidates(ents, max_bucket=None).collect()
+    hot_u = {(r["a"], r["b"]) for r in uncapped
+             if r["a"] < 200 and r["b"] < 200}
+    assert hot_u  # uncapped blocking would have paid |bucket|² here

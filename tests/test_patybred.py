@@ -433,3 +433,62 @@ def test_iforest_partition_invariance(spark, graph):
     ka = {(r["s"], r["p"], r["o"]): r["adj_score"] for r in a.collect()}
     kb = {(r["s"], r["p"], r["o"]): r["adj_score"] for r in b.collect()}
     assert ka == kb and ka
+
+
+def test_domran_prune_fires_at_candidate_level(spark, graph):
+    """P6: on the type-clean fixture the SURVIVING paths are identical
+    with and without the prune (incompatible compositions are empty and
+    die at min_sup), but the prune removes candidates BEFORE the join —
+    its actual job (reference patybred.py:73-95)."""
+    from kgspark import hierarchy
+
+    R = graph.relations.count()
+    dom, ran = hierarchy.domain_range_ids(graph.relations)
+    idx_all = patybred.enumerate_paths(graph.triples, R)
+    idx_pruned = patybred.enumerate_paths(graph.triples, R,
+                                          domains=dom, ranges=ran)
+    assert idx_pruned.supports == idx_all.supports
+
+    syms = patybred.symmetric_relations(graph.triples)
+    relevant = [p for p in range(1, 2 * R + 1)
+                if not (p > R and (p - R) in syms)]
+    singles = [(p,) for p in relevant]
+    dmap = {p: None for p in range(1, 2 * R + 1)}
+    rmap = dict(dmap)
+    for p in range(1, R + 1):
+        dmap[p], rmap[p] = dom.get(p), ran.get(p)
+        dmap[p + R], rmap[p + R] = ran.get(p), dom.get(p)
+
+    def compat(last, r2):
+        a, b = rmap[last], dmap[r2]
+        return a is None or b is None or a == b
+
+    c_all = patybred._level_candidates(singles, relevant, syms, R)
+    c_pruned = patybred._level_candidates(singles, relevant, syms, R, compat)
+    assert 0 < len(c_pruned) < len(c_all)
+
+
+def test_relevance_table_parity(spark, duck, graph, raw_cte):
+    """J2 as a table: all five modes match the set-arithmetic SQL oracle."""
+    got = patybred.relevance_table(graph.triples, graph.relations.count())
+    assert_df_equal(got, duck.execute(patybred.relevance_sql(raw_cte)),
+                    atol=1.5e-6)
+    modes = {r["mode"] for r in got.select("mode").distinct().collect()}
+    assert modes == set(patybred.RELEVANCE_MODES)
+
+
+def test_lang_equivalence_merge(spark, graph):
+    """U1: all lang:* memberships collapse onto the min-id lang type;
+    non-lang memberships are untouched."""
+    from kgspark import hierarchy
+
+    eq = hierarchy.lang_equivalences(graph.type_names)
+    merged = hierarchy.merge_equivalent_types(graph.types, eq)
+    langs = {r["t"] for r in graph.type_names
+             .where(F.col("name").startswith("lang:")).collect()}
+    tgt = min(langs)
+    left = {r["t"] for r in merged.select("t").distinct().collect()}
+    assert left & langs == {tgt}
+    before = graph.types.where(~F.col("t").isin(list(langs))).count()
+    after = merged.where(~F.col("t").isin(list(langs))).count()
+    assert before == after
