@@ -67,10 +67,15 @@ def _grams(norm_col: str = "norm") -> F.Column:
 
 
 def minhash_signatures(mentions: DataFrame) -> DataFrame:
-    """→ (name, h0..h{N-1}): MinHash over character 3-grams."""
-    grams = mentions.select(
-        "name", F.explode(_grams()).alias("gram")
-    ).distinct()
+    """→ (name, h0..h{N-1}): MinHash over character 3-grams.
+
+    No dedup of the exploded grams: ``min`` is duplicate-insensitive, so
+    the signatures are identical to the DISTINCT formulation (the DuckDB
+    oracle's) while skipping a full shuffle of the widest intermediate —
+    the grams table is map-side partial-aggregated straight into the
+    per-name groupBy.
+    """
+    grams = mentions.select("name", F.explode(_grams()).alias("gram"))
     aggs = [
         F.min(phash32([F.col("gram")], f"mh{i}")).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -148,17 +153,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("a").agg(F.min("nc").alias("best"))
             .withColumnRenamed("a", "node")
         )
+        # carry a changed-flag instead of re-joining old vs new labels:
+        # convergence detection is a cheap scan of the checkpointed
+        # result, not an extra shuffle join per round
         new_labels = labels.join(neigh, "node", "left").select(
-            "node", F.least(F.col("comp"), F.coalesce("best", "comp")).alias("comp")
+            "node",
+            F.least(F.col("comp"), F.coalesce("best", "comp")).alias("comp"),
+            (F.coalesce("best", "comp") < F.col("comp")).alias("chg"),
         )
         new_labels = materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels

@@ -128,7 +128,8 @@ def path_relevances(
     eps = parts[0]
     for q in parts[1:]:
         eps = eps.unionByName(q)
-    eps = materialize(eps)
+    from kgspark.util import shuffle_parts
+    eps = materialize(eps.coalesce(shuffle_parts(eps)))
 
     def _pid(path):
         return "_".join(map(str, path))
@@ -360,7 +361,14 @@ def _enumerate_paths(
             allprod = parts[0]
             for q in parts[1:]:
                 allprod = allprod.unionByName(q)
-            allprod = materialize(allprod)
+            # the union carries (shuffle width × candidate count)
+            # partitions; every per-path filter downstream re-scans ALL
+            # of them, so collapse to the configured shuffle width
+            # before checkpointing (narrow coalesce, no extra shuffle) —
+            # kills the thousand-near-empty-task stages the per-path
+            # unions otherwise multiply into
+            from kgspark.util import shuffle_parts
+            allprod = materialize(allprod.coalesce(shuffle_parts(allprod)))
             counts = {r["_pid"]: r["cnt"] for r in
                       allprod.groupBy("_pid")
                       .agg(F.count("*").alias("cnt")).collect()}

@@ -21,6 +21,15 @@ def oracle_sf_dir() -> str:
         os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"))
 
 
+def shuffle_parts(df: DataFrame, default: int = 64) -> int:
+    """The session's configured shuffle width (coalesce target for
+    many-branch unions — see materialize callers in patybred)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return default
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute and truncate lineage (checkpoint-light).
 
