@@ -74,7 +74,8 @@ def auto_max_bucket(n_entities: int) -> int:
 
 
 def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
-                    max_bucket: int | None | str = "auto") -> DataFrame:
+                    max_bucket: int | None | str = "auto",
+                    subjects: DataFrame | None = None) -> DataFrame:
     """→ (a, b, dist): entity-id pairs with similar names, both directions.
 
     SymSpell distance-1 delete variants block the candidates (recall 1.0
@@ -87,6 +88,13 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
     signal but costs |bucket|² pairs). Default ``"auto"`` derives the
     cap from the dictionary size (:func:`auto_max_bucket` — above every
     fixture bucket, so exact blocking there); ``None`` = uncapped.
+
+    ``subjects`` (optional, single ``id`` column) restricts the LEFT
+    side ``a`` before the join: correction callers only consume pairs
+    whose ``a`` is a suspect object, so pruning first turns the stage
+    from O(all-names² / buckets) into O(|suspects| · bucket) — the
+    pair set for those ``a`` is identical (the right side still spans
+    the full dictionary).
     """
     if max_bucket == "auto":
         max_bucket = auto_max_bucket(entities.count())
@@ -99,7 +107,9 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
         ok = v.groupBy("var").agg(F.count("*").alias("_n")) \
             .where(F.col("_n") <= max_bucket).select("var")
         v = v.join(ok, "var", "left_semi")
-    l = v.select("var", F.col("id").alias("a"), F.col("norm").alias("na"))
+    vl = v if subjects is None else v.join(
+        subjects.select("id"), "id", "left_semi")
+    l = vl.select("var", F.col("id").alias("a"), F.col("norm").alias("na"))
     r = v.select("var", F.col("id").alias("b"), F.col("norm").alias("nb"))
     pairs = (
         l.join(r, "var").where(F.col("a") != F.col("b"))
@@ -150,7 +160,9 @@ def correct_errors(
         suspects = suspects.join(exclude.select("s", "p", "o"),
                                  ["s", "p", "o"], "left_anti")
 
-    cands = name_candidates(entities, max_dist)
+    cands = name_candidates(
+        entities, max_dist,
+        subjects=suspects.select(F.col("o").alias("id")).distinct())
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
         "o")
@@ -242,7 +254,9 @@ def correct_errors_patybred(
         multi = types.groupBy("e").agg(F.count("*").alias("_nt")) \
             .where(F.col("_nt") >= 2).select(F.col("e").alias("o"))
         suspects = suspects.join(multi, "o", "left_semi")
-    cands = name_candidates(entities, max_dist)
+    cands = name_candidates(
+        entities, max_dist,
+        subjects=suspects.select(F.col("o").alias("id")).distinct())
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
         "o")
