@@ -1,0 +1,87 @@
+"""Plan-regression tests: pin the scale-critical physical-plan shapes.
+
+These assert properties of `.explain()` output, so a future refactor that
+silently reintroduces a second source scan, a single-partition exchange,
+a cartesian product, or column-pruning loss fails loudly — the plan
+qualities the 100 TB design depends on, enforced rather than claimed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgspark import correct, encode, extract, pipeline, rank, synth, textstats
+from tests.conftest import SF_TINY
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+def _tree(df) -> str:
+    """Just the operator tree (one line per node), no detail section."""
+    s = _plan(df)
+    return s.split("\n\n", 1)[0]
+
+
+def test_extract_plan_single_scan_single_python_pass(spark):
+    """The single-scan extraction claim, enforced: one parquet scan, ONE
+    Arrow python pass evaluating both mention detectors, one exchange
+    (the final dedup) — the content column is read once per row."""
+    rf = synth.repo_files(spark, SF_TINY)
+    tr = extract.extract_triples(rf, file_mentions=False)
+    t = _tree(tr)
+    assert t.count("Scan parquet") == 1
+    assert t.count("ArrowEvalPython") == 1
+    assert t.count("Exchange") == 1  # dedup only
+    assert "CartesianProduct" not in t
+
+
+def test_source_column_pruning(spark):
+    """Projections reach the parquet scan: token_stats needs only
+    (doc_id, text) and the scan must read exactly that."""
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    p = _plan(textstats.token_stats(docs))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_encode_broadcasts_dims_no_cartesian(spark):
+    """Dictionary encoding: the relation dim joins as a broadcast; no
+    cartesian product anywhere in the encode plan."""
+    g = pipeline.build_graph(spark, SF_TINY)
+    t = _tree(encode.encode_triples(g.triples_str, g.entities, g.relations))
+    assert "BroadcastHashJoin" in t or "BroadcastNestedLoopJoin" not in t
+    assert "CartesianProduct" not in t
+    assert "Exchange SinglePartition" not in t
+
+
+def test_rank_has_no_single_partition_exchange(spark):
+    """Global ordinal ranking uses the two-phase range/bucket pattern —
+    a naive global window would plan `Exchange SinglePartition`."""
+    g = pipeline.build_graph(spark, SF_TINY)
+    scores = g.triples.select(
+        "s", "p", "o", (F.col("s") % 7 / 10.0).alias("score"))
+    t = _tree(rank.rank_facts(scores))
+    assert "Exchange SinglePartition" not in t
+
+
+def test_corrections_plan_no_cartesian_no_single_partition(spark):
+    """The correction funnel (blocking self-join + rescore joins +
+    bounded per-suspect window) must stay free of cartesian products and
+    single-partition exchanges."""
+    g = pipeline.build_graph(spark, SF_TINY)
+    ranked = pipeline.flagship_ranked(spark, SF_TINY, 0.05)
+    corr = correct.correct_errors(
+        ranked, ranked.select("s", "p", "o"), g.types, g.entities,
+        min_score=0.01, min_score_gain=1.0)
+    t = _tree(corr)
+    assert "CartesianProduct" not in t
+    assert "Exchange SinglePartition" not in t
