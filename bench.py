@@ -148,12 +148,20 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     from kgspark.session import get_spark
 
     spark = get_spark("kgspark-bench", master=master)
-    t_all0 = time.time()
     if replicate:
         rf = synth.repo_files_scaled(spark, sf_dir, replicate)
     else:
         rf = synth.repo_files(spark, sf_dir)
 
+    # Discarded warm-up of the e2e chain (JIT, codegen caches) — the same
+    # treatment the --scaling protocol applies to both sides. Round 3's
+    # recorded suite regression traced to a cold+contended single-shot
+    # run; the warm pass is disclosed in the JSON ("e2e_warmup").
+    warmup = os.environ.get("SPARK_GRAFT_SUITE_WARMUP", "1") == "1"
+    if warmup:
+        _e2e(spark, rf)
+
+    t_all0 = time.time()
     timings, n_triples, (tr_raw, tr, enc, types, noisy) = _e2e(spark, rf)
     e2e_sec = time.time() - t_all0
 
@@ -218,6 +226,7 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     return {
         "total_sec": round(total, 3),
         "e2e_sec": round(e2e_sec, 3),
+        "e2e_warmup": warmup,
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / e2e_sec, 1),
@@ -327,6 +336,7 @@ def main() -> None:
             "queries": r["queries"],
             "sf": sf,
             "e2e_sec": r["e2e_sec"],
+            "e2e_warmup": r["e2e_warmup"],
             "n_triples": r["n_triples"],
             "triples_per_sec": r["triples_per_sec"],
             "cores": int(cpus),
