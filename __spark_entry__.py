@@ -477,6 +477,12 @@ def _q_emb_neardup(spark, sf):
     return simsearch.embedding_near_dup(_emb(spark, sf), 0.35)
 
 
+def _q_ccorr(spark, sf):
+    """F8: circular correlation (HolE composition) over the brute-force
+    top-k neighbor pairs."""
+    return simsearch.ccorr_topk(_emb(spark, sf))
+
+
 def _q_token_stats(spark, sf):
     return textstats.token_stats(_docs(spark, sf))
 
@@ -570,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_media_features,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_emb_neardup,
+        "emb_ccorr_topk": _q_ccorr,
         "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
         "kg_stream_triples_raw": _q_stream_triples,
         "kg_paths_depth2_pruned": _q_paths_pruned,
@@ -737,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(6),
         "ann_cosine_topk": simsearch.ann_bruteforce_sql(),
         "ann_lsh_topk": simsearch.ann_lsh_sql(),
+        "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),
         "text_quality": textstats.quality_scores_sql(),

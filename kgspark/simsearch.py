@@ -107,6 +107,47 @@ def ann_bruteforce(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame
     )
 
 
+def ccorr_col(a, b, d: int = DIM) -> F.Column:
+    """F8 circular correlation: ccorr(a,b)[k] = Σ_i a[i]·b[(i+k) mod d].
+
+    The reference computes it via FFT (`ifft(conj(fft(a))·fft(b)).real`,
+    /root/reference/util.py:390-391 — the HolE composition used by
+    embeddings.py:636); by the correlation theorem that equals d dot
+    products of ``a`` against the k-rotated ``b``, which is how we
+    express it: slice-concat rotation + the same sequential JVM fold as
+    the cosine path (no UDF, and DuckDB's list_dot_product reproduces
+    the fold bit-identically for the oracle). O(d²) per pair — right
+    for scoring candidate pairs at embedding dims; at very large d the
+    FFT route needs a pandas UDF.
+    """
+    out = []
+    for k in range(d):
+        rot = F.concat(F.slice(b, k + 1, d - k), F.slice(b, 1, k)) if k \
+            else b
+        out.append(_dot(a, rot))
+    return F.array(*out)
+
+
+def ccorr_topk(emb: DataFrame, k: int = 5, query_mod: int = 25,
+               dim: int = DIM) -> DataFrame:
+    """→ (q_id, vec_id, pos, val): the full circular-correlation vector
+    for every brute-force top-k neighbor pair — the HolE scoring surface
+    (reference embeddings.py:636 scores are R[p]·ccorr(E[s], E[o]); the
+    trained-embedding part is out of scope, the composition operator is
+    this)."""
+    pairs = ann_bruteforce(emb, k, query_mod).select("q_id", "vec_id")
+    qe = emb.select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("qv"))
+    ne = emb.select("vec_id", F.col("embedding").alias("nv"))
+    return (
+        pairs.join(qe, "q_id").join(ne, "vec_id")
+        .select("q_id", "vec_id",
+                F.posexplode(ccorr_col(F.col("qv"), F.col("nv"), dim))
+                .alias("pos", "val"))
+        .withColumn("val", F.round("val", 6))
+    )
+
+
 def lsh_buckets(emb: DataFrame, n_bands: int = N_BANDS,
                 band_planes: int = BAND_PLANES) -> DataFrame:
     """→ (vec_id, band, key): one hash-table key per band, computed in a
@@ -234,6 +275,34 @@ scored AS (
 rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
        FROM scored)
 SELECT q_id, vec_id, cos, rnk FROM rk WHERE rnk <= {k}
+"""
+
+
+def ccorr_topk_sql(k: int = 5, query_mod: int = 25, dim: int = DIM) -> str:
+    """Oracle for :func:`ccorr_topk`: per top-k pair and rotation k,
+    list_dot_product of the query embedding against the k-rotated
+    neighbor embedding (bit-identical to the Spark sequential fold)."""
+    d = _DOT.format(x="q.embedding", y="e.embedding")
+    rot = ("list_concat(list_slice(ne.embedding, ks.pos + 1, {dim}), "
+           "list_slice(ne.embedding, 1, ks.pos))").format(dim=dim)
+    dd = _DOT.format(x="qe.embedding", y=rot)
+    return f"""
+WITH {_norm_cte()},
+ccqs AS (SELECT * FROM en WHERE vec_id % {query_mod} = 0),
+ccscored AS (
+  SELECT q.vec_id AS q_id, e.vec_id,
+         round({d} / (q.norm * e.norm), 6) AS cos
+  FROM ccqs q CROSS JOIN en e WHERE e.vec_id <> q.vec_id),
+ccrk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         FROM ccscored),
+ccpairs AS (SELECT q_id, vec_id FROM ccrk WHERE rnk <= {k}),
+ccks AS (SELECT unnest(generate_series(0, {dim - 1})) AS pos)
+SELECT p.q_id, p.vec_id, ks.pos,
+       round({dd}, 6) AS val
+FROM ccpairs p
+JOIN embeddings qe ON qe.vec_id = p.q_id
+JOIN embeddings ne ON ne.vec_id = p.vec_id
+CROSS JOIN ccks ks
 """
 
 

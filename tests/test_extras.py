@@ -305,3 +305,18 @@ def test_symspell_auto_bucket_cap(spark):
     hot_u = {(r["a"], r["b"]) for r in uncapped
              if r["a"] < 200 and r["b"] < 200}
     assert hot_u  # uncapped blocking would have paid |bucket|² here
+
+
+def test_ccorr_matches_fft_oracle(spark, emb):
+    """F8: the slice-rotation dot-product formulation must equal the
+    reference's FFT computation (util.py:390-391,
+    ifft(conj(fft(a))·fft(b)).real) on real fixture vectors."""
+    got = simsearch.ccorr_topk(emb, k=2).toPandas()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert len(got) > 0
+    for (q, v), grp in got.groupby(["q_id", "vec_id"]):
+        ref = np.fft.ifft(np.conj(np.fft.fft(vecs[q]))
+                          * np.fft.fft(vecs[v])).real
+        vals = grp.sort_values("pos")["val"].to_numpy()
+        assert np.allclose(vals, ref, atol=2e-6)
