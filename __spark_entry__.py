@@ -319,6 +319,43 @@ def _q_stream_triples(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select("subj", "pred", "obj").distinct()
 
 
+def _q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming exact-dedup (applyInPandasWithState): the
+    corpus arrives as micro-batch 1, duplicate copies of every 25th doc
+    (shifted ids) as micro-batch 2 — the per-sha state drops them, so
+    the first-seen log equals min-doc_id-per-content (exact oracle)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from kgspark import streaming
+
+    tmp = tempfile.mkdtemp(prefix="kgdedupstream_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    docs = _docs(spark, sf)
+    copies = docs.where(F.col("doc_id") % 25 == 0) \
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+
+    def _one_file(df, dest):
+        stage = dest + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+
+    now = time.time()
+    _one_file(docs, os.path.join(src, "batch1.parquet"))
+    _one_file(copies, os.path.join(src, "batch2.parquet"))
+    # mtime order fixes micro-batch order (FileStreamSource oldest-first)
+    os.utime(os.path.join(src, "batch1.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(src, "batch2.parquet"), (now, now))
+    streaming.run_dedup_stream(spark, src, out, ck)
+    return spark.read.parquet(out).select("sha", "doc_id")
+
+
 def _q_rich_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract.extract_triples(synth.repo_files_rich(spark, sf))
 
@@ -579,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ccorr_topk": _q_ccorr,
         "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
         "kg_stream_triples_raw": _q_stream_triples,
+        "stream_dedup_docs": _q_stream_dedup,
         "kg_paths_depth2_pruned": _q_paths_pruned,
         "kg_path_relevance": _q_path_relevance,
         "kg_types_merged": _q_types_merged,
@@ -730,6 +768,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
         "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
         "kg_stream_triples_raw": raw,
+        "stream_dedup_docs": (
+            "WITH sddu AS ("
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000, text FROM documents"
+            "  WHERE doc_id % 25 = 0) "
+            "SELECT sha256(text) AS sha, min(doc_id) AS doc_id "
+            "FROM sddu GROUP BY text"
+        ),
         "kg_paths_depth2_beam": patybred.paths_depth2_beam_sql(raw, BEAM_N),
         "kg_triples_filtered": extract.filtered_triples_sql(
             synth.repo_files_sql("duckdb"), DENY),

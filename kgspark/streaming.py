@@ -112,6 +112,74 @@ def run_extraction_stream(spark: SparkSession, src_dir: str, out_dir: str,
     return w.start()
 
 
+def stream_dedup_docs(docs_stream: DataFrame) -> DataFrame:
+    """Stateful streaming exact-dedup (custom operator via
+    ``applyInPandasWithState``): emit each content sha256 exactly ONCE
+    across all micro-batches — the first-seen representative (min doc_id
+    within the first batch that carries the sha); later arrivals of the
+    same sha are dropped against the per-group state.
+
+    This is the streaming form of ``dedup.dedup_exact`` for a
+    training-data ingest pipeline: state is keyed by sha (bounded by the
+    number of DISTINCT contents, partitioned across the state store), so
+    it scales the same way the batch hash-groupBy does.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # sha already emitted in an earlier micro-batch
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        state.update((True,))
+        yield pd.DataFrame({"sha": [key[0]], "doc_id": [best]})
+
+    return (
+        docs_stream
+        .withColumn("sha", F.sha2("text", 256))
+        .groupBy("sha")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType="sha string, doc_id long",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
+                     checkpoint_dir: str,
+                     max_files_per_trigger: int = 1):
+    """src parquet dir of documents → first-seen (sha, doc_id) log.
+
+    ``maxFilesPerTrigger=1`` processes one source file per micro-batch
+    (files in mtime order), so cross-batch state is genuinely exercised
+    whenever the source has several files. Drains with availableNow.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_dedup_docs(docs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def foreach_batch(spark: SparkSession, src_dir: str, checkpoint_dir: str,
                   fn: Callable[[DataFrame, int], None],
                   available_now: bool = True):

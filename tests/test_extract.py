@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from kgspark import encode, extract, synth
 from tests.conftest import SF_TINY, assert_df_equal
 
@@ -135,3 +137,50 @@ def test_streaming_foreach_batch_compaction(spark, tmp_path):
     got = pd.concat(seen).drop_duplicates().reset_index(drop=True)
     want = extract.extract_triples(rf).toPandas()
     assert len(got) == len(want)
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates arriving in a LATER
+    micro-batch are dropped by the per-sha state; the first-seen log
+    equals the batch dedup representative set, and restarting the
+    drained stream emits nothing new (state persisted in checkpoint)."""
+    import os
+    import shutil
+    import time
+
+    from kgspark import streaming
+
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    rows = [(i, f"text body {i % 4}", "en", "s", 11) for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    dups = docs.where("doc_id < 4").withColumn(
+        "doc_id", F.col("doc_id") + 100)
+
+    def one_file(df, dest):
+        stage = dest + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+
+    now = time.time()
+    one_file(docs, os.path.join(src, "b1.parquet"))
+    one_file(dups, os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(src, "b2.parquet"), (now, now))
+
+    streaming.run_dedup_stream(spark, src, out, ck)
+    got = {(r["sha"], r["doc_id"])
+           for r in spark.read.parquet(out).collect()}
+    # 4 distinct texts; representative = min doc_id (batch-1 originals)
+    assert got == {
+        (r["sha"], r["doc_id"])
+        for r in docs.selectExpr("sha2(text, 256) AS sha", "doc_id")
+        .groupBy("sha").agg(F.min("doc_id").alias("doc_id")).collect()}
+    assert len(got) == 4
+    # drained restart: no re-emission (exactly-once on the sha log)
+    streaming.run_dedup_stream(spark, src, out, ck)
+    assert spark.read.parquet(out).count() == 4
