@@ -17,9 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import (correct, dedup, encode, errorsgen, evalops, extract,
-                     hierarchy, link, multimodal, patybred, pipeline, scoring,
-                     simsearch, synth, textstats, typesys)
+from kgspark import (correct, dedup, embeddings, encode, errorsgen, evalops,
+                     extract, hierarchy, link, multimodal, patybred, pipeline,
+                     scoring, simsearch, synth, textstats, typesys)
 
 P_ERROR = 0.05
 
@@ -520,6 +520,12 @@ def _q_ccorr(spark, sf):
     return simsearch.ccorr_topk(_emb(spark, sf))
 
 
+def _q_hole_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 scoring surface: HolE triple scores sum(R[p]·ccorr(E[s],E[o]))
+    over deterministic hash-derived embeddings — zero-shuffle projection."""
+    return embeddings.hole_scores(pipeline.build_graph(spark, sf).triples)
+
+
 def _q_token_stats(spark, sf):
     return textstats.token_stats(_docs(spark, sf))
 
@@ -614,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_emb_neardup,
         "emb_ccorr_topk": _q_ccorr,
+        "kg_hole_scores": _q_hole_scores,
         "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
         "kg_stream_triples_raw": _q_stream_triples,
         "stream_dedup_docs": _q_stream_dedup,
@@ -792,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": simsearch.ann_bruteforce_sql(),
         "ann_lsh_topk": simsearch.ann_lsh_sql(),
         "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
+        "kg_hole_scores": embeddings.hole_scores_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),
         "text_quality": textstats.quality_scores_sql(),

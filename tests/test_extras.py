@@ -320,3 +320,29 @@ def test_ccorr_matches_fft_oracle(spark, emb):
                           * np.fft.fft(vecs[v])).real
         vals = grp.sort_values("pos")["val"].to_numpy()
         assert np.allclose(vals, ref, atol=2e-6)
+
+
+def test_hole_scores_match_numpy_reference_formula(spark):
+    """M9 scoring surface: Spark's sum(R[p]·ccorr(E[s],E[o])) over
+    hash-derived vectors equals the reference formula computed in numpy
+    with FFT ccorr (embeddings.py:636 + util.py:390-391)."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    t = spark.createDataFrame(
+        [(1, 1, 2), (3, 2, 4), (5, 1, 6)], "s long, p int, o long")
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.hole_scores(t).collect()}
+
+    d = embeddings.DIM_EMB
+
+    def vec(salt, ident):
+        return np.array([
+            (_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+            for i in range(d)])
+
+    for (s, p, o), sc in got.items():
+        cc = np.fft.ifft(np.conj(np.fft.fft(vec("he", s)))
+                         * np.fft.fft(vec("he", o))).real
+        want = float(np.dot(vec("hr", p), cc))
+        assert abs(sc - round(want, 6)) < 2e-6
