@@ -642,12 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_encoded": _q_encoded,
         "kg_types": _q_types,
         "kg_sdvalidate_scores": _q_sdvalidate,
-        "kg_rpf": _q_rpf,
         "kg_domran_scores": _q_domran,
         "kg_errors_kind1": _q_errors_k1,
         "kg_errors_kind2": _q_errors_k2,
-        "kg_errors_kind3": _q_errors_k3,
-        "kg_relation_support": _q_relation_support,
         "kg_paths_depth2": _q_paths_depth2,
         "kg_patybred_negatives": _q_patybred_negatives,
         "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
@@ -663,6 +660,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_types_closure": _q_types_closure,
         "kg_link_prediction_eval": _q_linkpred,
         # -- block 3: multi-round-green tail (driver may not reach these)
+        "kg_rpf": _q_rpf,
+        "kg_errors_kind3": _q_errors_k3,
+        "kg_relation_support": _q_relation_support,
         "kg_patybred_features_iorels": _q_patybred_features_iorels,
         "kg_patybred_dt_ranked": _q_patybred_dt_ranked,
         "kg_flagship_ranked_avg": _q_flagship_avg,
