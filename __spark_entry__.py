@@ -514,6 +514,12 @@ def _q_emb_neardup(spark, sf):
     return simsearch.embedding_near_dup(_emb(spark, sf), 0.35)
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF-flat ANN: hash-picked seed centroids (auto √N lists), nprobe
+    probing, exact re-rank — the second scale path beside LSH."""
+    return simsearch.ann_ivf(_emb(spark, sf))
+
+
 def _q_ccorr(spark, sf):
     """F8: circular correlation (HolE composition) over the brute-force
     top-k neighbor pairs."""
@@ -619,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": _q_media_features,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_near_dup": _q_emb_neardup,
+        "ann_ivf_topk": _q_ann_ivf,
         "emb_ccorr_topk": _q_ccorr,
         "kg_hole_scores": _q_hole_scores,
         "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
@@ -644,7 +651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sdvalidate_scores": _q_sdvalidate,
         "kg_domran_scores": _q_domran,
         "kg_errors_kind1": _q_errors_k1,
-        "kg_errors_kind2": _q_errors_k2,
         "kg_paths_depth2": _q_paths_depth2,
         "kg_patybred_negatives": _q_patybred_negatives,
         "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
@@ -660,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_types_closure": _q_types_closure,
         "kg_link_prediction_eval": _q_linkpred,
         # -- block 3: multi-round-green tail (driver may not reach these)
+        "kg_errors_kind2": _q_errors_k2,
         "kg_rpf": _q_rpf,
         "kg_errors_kind3": _q_errors_k3,
         "kg_relation_support": _q_relation_support,
@@ -798,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(6),
         "ann_cosine_topk": simsearch.ann_bruteforce_sql(),
         "ann_lsh_topk": simsearch.ann_lsh_sql(),
+        "ann_ivf_topk": simsearch.ann_ivf_sql(),
         "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
         "kg_hole_scores": embeddings.hole_scores_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),

@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kgspark.hashing import phash32, sql_phash32
+
 N_BANDS = 6
 BAND_PLANES = 8  # fixture-scale fallback; prefer auto_band_planes(N)
 TARGET_BUCKET = 2  # expected rows per (band, key) bucket
@@ -253,6 +255,93 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
     )
 
 
+# ------------------------------------------------------------------ IVF-flat
+
+N_CENTROIDS = 16
+NPROBE = 3
+
+
+def auto_centroids(n: int) -> int:
+    """Scale-default IVF list count ≈ √N (the standard IVF sizing:
+    per-list size and list count balance at √N), clamped to [4, 4096].
+    At the 500-vector fixture this is the historical 16."""
+    import math
+
+    r = 2 ** round(math.log2(max(4.0, math.sqrt(max(1, n)))))
+    return max(4, min(4096, int(r)))
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int | None = None) -> DataFrame:
+    """→ (cid, cvec): deterministic seed-vector centroids — the corpus
+    vectors ranked by the portable hash of their id (content-keyed, so
+    Spark and the DuckDB oracle pick identical seeds, and no float
+    averaging is involved — assignments stay bit-stable). A k-means
+    refinement would tighten the lists but makes argmin decisions hang
+    on accumulation order; seed vectors are the standard 'IVF with
+    random coarse quantizer' baseline."""
+    if n_centroids is None:
+        n_centroids = auto_centroids(emb.count())
+    return (
+        emb.select("vec_id", "embedding",
+                   phash32([F.col("vec_id")], "ivfseed").alias("_h"))
+        .orderBy("_h", "vec_id").limit(n_centroids)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cvec"))
+    )
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame,
+               nprobe: int = 1) -> DataFrame:
+    """→ (vec_id, cid): each vector's top-``nprobe`` centroids by cosine
+    (ties by cid). The centroid table is tiny → broadcast; assignment is
+    a narrow map over the corpus — the IVF build is one pass."""
+    e = with_norm(emb)
+    cn = cents.select(
+        "cid", "cvec",
+        F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cn"))
+    scored = e.join(F.broadcast(cn)).select(
+        "vec_id", "cid",
+        (_dot(F.col("embedding"), F.col("cvec"))
+         / (F.col("norm") * F.col("cn"))).alias("_cs"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nprobe).select("vec_id", "cid")
+    )
+
+
+def ann_ivf(emb: DataFrame, k: int = 5, query_mod: int = 25,
+            n_centroids: int | None = None,
+            nprobe: int = NPROBE) -> DataFrame:
+    """IVF-flat ANN: corpus vectors live in their nearest centroid's
+    inverted list; a query probes its ``nprobe`` nearest lists and
+    exact-cosine re-ranks only those candidates → (q_id, vec_id, cos,
+    rnk). Work per query is O(n_centroids + n/n_centroids · nprobe)
+    instead of O(n) — with √N lists the classic √N speedup; candidate
+    generation is two hash joins on ``cid``, no all-pairs anywhere."""
+    cents = ivf_centroids(emb, n_centroids)
+    lists = ivf_assign(emb, cents, nprobe=1)
+    queries = emb.where(F.col("vec_id") % query_mod == 0)
+    qprobe = ivf_assign(queries, cents, nprobe=nprobe) \
+        .withColumnRenamed("vec_id", "q_id")
+    cand = qprobe.join(lists, "cid").select("q_id", "vec_id") \
+        .where(F.col("q_id") != F.col("vec_id")).distinct()
+    e = with_norm(emb)
+    qv = e.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("qv"), F.col("norm").alias("qn"))
+    cand = cand.join(qv, "q_id").join(
+        e.select("vec_id", "embedding", "norm"), "vec_id")
+    cos = F.round(_dot(F.col("qv"), F.col("embedding"))
+                  / (F.col("qn") * F.col("norm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cos", "rnk")
+    )
+
+
 # ---------------------------------------------------------------- SQL (oracle)
 
 _DOT = ("list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))")
@@ -303,6 +392,52 @@ FROM ccpairs p
 JOIN embeddings qe ON qe.vec_id = p.q_id
 JOIN embeddings ne ON ne.vec_id = p.vec_id
 CROSS JOIN ccks ks
+"""
+
+
+def ann_ivf_sql(k: int = 5, query_mod: int = 25,
+                n_centroids: int = N_CENTROIDS,
+                nprobe: int = NPROBE) -> str:
+    """Oracle for :func:`ann_ivf`: identical hash-picked seed centroids,
+    top-1 list assignment / top-nprobe query probing by cosine (ties by
+    cid), exact re-rank of probed candidates."""
+    seed_h = sql_phash32(
+        "concat_ws('|', 'ivfseed', CAST(vec_id AS VARCHAR))", "duckdb")
+    d_qe = _DOT.format(x="q.embedding", y="e.embedding")
+    return f"""
+WITH {_norm_cte()},
+ivc AS (
+  SELECT vec_id AS cid, embedding AS cvec
+  FROM (SELECT vec_id, embedding, {seed_h} AS h FROM embeddings
+        ORDER BY h, vec_id LIMIT {n_centroids})),
+ivcn AS (SELECT cid, cvec,
+                sqrt({_DOT.format(x="cvec", y="cvec")}) AS cn FROM ivc),
+ivs AS (
+  SELECT en.vec_id, ivcn.cid,
+         {_DOT.format(x="en.embedding", y="ivcn.cvec")}
+           / (en.norm * ivcn.cn) AS cs
+  FROM en CROSS JOIN ivcn),
+ivr AS (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cid) AS rn
+        FROM ivs),
+ivlists AS (SELECT vec_id, cid FROM ivr WHERE rn = 1),
+ivq AS (SELECT vec_id AS q_id, cid FROM ivr
+        WHERE rn <= {nprobe} AND vec_id % {query_mod} = 0),
+ivcand AS (
+  SELECT DISTINCT ivq.q_id, ivlists.vec_id
+  FROM ivq JOIN ivlists ON ivlists.cid = ivq.cid
+  WHERE ivlists.vec_id <> ivq.q_id),
+ivscored AS (
+  SELECT c.q_id, c.vec_id,
+         round({d_qe} / (q.norm * e.norm), 6) AS cos
+  FROM ivcand c
+  JOIN en q ON q.vec_id = c.q_id
+  JOIN en e ON e.vec_id = c.vec_id),
+ivrk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rnk
+         FROM ivscored)
+SELECT q_id, vec_id, cos, rnk FROM ivrk WHERE rnk <= {k}
 """
 
 
