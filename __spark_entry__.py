@@ -532,6 +532,16 @@ def _q_hole_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.hole_scores(pipeline.build_graph(spark, sf).triples)
 
 
+def _q_transe_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 TRAINING: distributed DataFrame-SGD TransE fit (margin ranking,
+    content-keyed corrupt-object negatives, order-deterministic gradient
+    folds) followed by −‖E[s]+R[p]−E[o]‖² scoring; the oracle re-trains
+    the bit-identical numpy replica Spark-free."""
+    g = pipeline.build_graph(spark, sf)
+    E, R = embeddings.fit_transe(g.triples, g.n_entities)
+    return embeddings.transe_scores(g.triples, E, R)
+
+
 def _q_token_stats(spark, sf):
     return textstats.token_stats(_docs(spark, sf))
 
@@ -628,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "emb_ccorr_topk": _q_ccorr,
         "kg_hole_scores": _q_hole_scores,
+        "kg_transe_scores": _q_transe_scores,
         "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
         "kg_stream_triples_raw": _q_stream_triples,
         "stream_dedup_docs": _q_stream_dedup,
@@ -647,7 +658,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities_dim": _q_entities,
         "kg_relations_dim": _q_relations,
         "kg_triples_encoded": _q_encoded,
-        "kg_types": _q_types,
         "kg_sdvalidate_scores": _q_sdvalidate,
         "kg_domran_scores": _q_domran,
         "kg_errors_kind1": _q_errors_k1,
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_types_closure": _q_types_closure,
         "kg_link_prediction_eval": _q_linkpred,
         # -- block 3: multi-round-green tail (driver may not reach these)
+        "kg_types": _q_types,
         "kg_errors_kind2": _q_errors_k2,
         "kg_rpf": _q_rpf,
         "kg_errors_kind3": _q_errors_k3,
@@ -808,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": simsearch.ann_ivf_sql(),
         "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
         "kg_hole_scores": embeddings.hole_scores_sql(raw),
+        "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),
         "text_quality": textstats.quality_scores_sql(),

@@ -48,7 +48,284 @@ def hole_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
     return triples.select("s", "p", "o", score.alias("score"))
 
 
+# ------------------------------------------------------- TransE training (M9)
+
+TE_DIM = 16
+TE_LR = 0.1
+TE_MARGIN = 1.0
+TE_EPOCHS = 2
+
+
+def _l2norm_rows(tab: DataFrame, vec: str = "vec") -> DataFrame:
+    n = F.sqrt(_dot(F.col(vec), F.col(vec)))
+    n = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    return tab.withColumn(vec, F.transform(F.col(vec), lambda x: x / n))
+
+
+def transe_init(triples: DataFrame, d: int = TE_DIM
+                ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic initial (entity, relation) embedding tables from the
+    hash substrate — identical in the numpy oracle replica."""
+    ents = (triples.select(F.col("s").alias("e"))
+            .unionByName(triples.select(F.col("o").alias("e"))).distinct())
+    rels = triples.select(F.col("p")).distinct()
+    E = ents.select("e", hash_embedding(F.col("e"), "te", d).alias("vec"))
+    R = rels.select("p", hash_embedding(F.col("p"), "tr", d).alias("vec"))
+    return E, R
+
+
+def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
+                 n_entities: int, epoch: int, d: int = TE_DIM,
+                 lr: float = TE_LR, margin: float = TE_MARGIN
+                 ) -> tuple[DataFrame, DataFrame]:
+    """One distributed SGD epoch of squared-L2 TransE margin training.
+
+    Reference analog: the skge/TF trainers behind embeddings.py:24-60
+    (pairwise margin ranking with corrupt-object negatives). Spark-first
+    shape: entity vectors are normalized, per-triple gradient
+    contributions come from joins against the (entity|relation, vec)
+    tables, and the per-parameter gradient sum folds a SORTED
+    collect_list — order-deterministic float addition, so the numpy
+    oracle replica is bit-identical (at 10^12-triple scale you would
+    trade that determinism for a plain partial-aggregate sum; the sort
+    key is the source triple, so list sizes are bounded by degree).
+    Negatives are content-keyed corrupt-objects (epoch-salted), the
+    reference's corruption scheme without rejection (documented
+    simplification).
+    """
+    from kgspark.hashing import pick_mod
+    from kgspark.util import materialize
+
+    # checkpoint the normalized table: it is joined three times below
+    # (s / o / corrupt-o sides), and the normalization's nested
+    # higher-order expression must not be re-bound per alias
+    E = materialize(_l2norm_rows(E))
+    # rename the relation key on the fact side: a shared column name
+    # across the broadcast build side trips attribute dedup in the
+    # composed per-epoch plan (p of the triples mis-binds into the R
+    # scan) — distinct names keep resolution unambiguous
+    t = triples.select("s", F.col("p").alias("_tp"), "o").withColumn(
+        "o_neg",
+        pick_mod([F.col("s"), F.col("_tp"), F.col("o"), F.lit(epoch)],
+                 n_entities, "teneg") + 1)
+    t = (
+        t.join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(E.select(F.col("e").alias("o_neg"),
+                       F.col("vec").alias("en")), "o_neg", "left")
+        .join(F.broadcast(R.withColumnRenamed("vec", "rp")),
+              F.col("_tp") == F.col("p"))
+        .drop("p")
+    )
+    # a corrupt id may miss the entity table (ids are dense 1..n so it
+    # should not, but stay total): missing negative → inactive triple
+    dp = F.zip_with(F.zip_with(F.col("es"), F.col("rp"),
+                               lambda a, b: a + b),
+                    F.col("eo"), lambda a, b: a - b)
+    dn = F.zip_with(F.zip_with(F.col("es"), F.col("rp"),
+                               lambda a, b: a + b),
+                    F.coalesce(F.col("en"), F.col("eo")),
+                    lambda a, b: a - b)
+    act = (F.col("en").isNotNull()
+           & (F.lit(margin) + _dot(dp, dp) - _dot(dn, dn) > 0))
+    g_sp = F.zip_with(dp, dn, lambda a, b: 2.0 * a - 2.0 * b)  # ∂/∂es, ∂/∂rp
+    g_o = F.transform(dp, lambda a: -2.0 * a)                  # ∂/∂eo
+    g_n = F.transform(dn, lambda a: 2.0 * a)                   # ∂/∂en
+    # checkpoint the per-triple gradient rows: the downstream fold +
+    # parameter-update self-joins re-reference this subtree several
+    # times, and truncating here keeps the per-epoch plan flat
+    t = materialize(t.where(act).select(
+        "s", "_tp", "o", "o_neg",
+        g_sp.alias("g_sp"), g_o.alias("g_o"), g_n.alias("g_n")))
+
+    # role index (0=subject, 1=object, 2=corrupt object) disambiguates
+    # multiple same-triple contributions to one entity (s == o self-loops)
+    contrib = t.select(
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("i"), F.col("s").alias("e"),
+                     F.col("g_sp").alias("g")),
+            F.struct(F.lit(1).alias("i"), F.col("o").alias("e"),
+                     F.col("g_o").alias("g")),
+            F.struct(F.lit(2).alias("i"), F.col("o_neg").alias("e"),
+                     F.col("g_n").alias("g")),
+        )).alias("c"),
+        F.concat_ws("|", "s", "_tp", "o").alias("_k"),
+    ).select(F.col("c.e").alias("e"), F.col("c.i").alias("_i"),
+             F.col("c.g").alias("g"), "_k")
+
+    zero = F.array(*[F.lit(0.0) for _ in range(d)])
+
+    def folded(grp: DataFrame, key: str) -> DataFrame:
+        lst = F.array_sort(F.collect_list(F.struct(
+            F.col("_k").alias("k"), F.col("_i").alias("i"),
+            F.col("g").alias("g"))))
+        acc = F.aggregate(
+            lst, zero,
+            lambda a, s: F.zip_with(a, s["g"], lambda x, y: x + y))
+        return grp.groupBy(key).agg(acc.alias("grad"))
+
+    ge = folded(contrib, "e")
+    gr = folded(
+        t.select(F.col("_tp").alias("p"), F.lit(0).alias("_i"),
+                 F.col("g_sp").alias("g"),
+                 F.concat_ws("|", "s", "_tp", "o").alias("_k")), "p")
+
+    # gradient tables derive FROM E/R, so rename their keys before the
+    # self-join (attribute-lineage disambiguation)
+    ge = ge.select(F.col("e").alias("_ge"), "grad")
+    gr = gr.select(F.col("p").alias("_gp"), "grad")
+    E2 = E.join(ge, F.col("e") == F.col("_ge"), "left").select(
+        "e",
+        F.when(F.col("grad").isNull(), F.col("vec")).otherwise(
+            F.zip_with("vec", "grad", lambda v, g: v - lr * g)).alias("vec"))
+    R2 = R.join(gr, F.col("p") == F.col("_gp"), "left").select(
+        "p",
+        F.when(F.col("grad").isNull(), F.col("vec")).otherwise(
+            F.zip_with("vec", "grad", lambda v, g: v - lr * g)).alias("vec"))
+    return E2, R2
+
+
+def fit_transe(triples: DataFrame, n_entities: int, d: int = TE_DIM,
+               epochs: int = TE_EPOCHS, lr: float = TE_LR,
+               margin: float = TE_MARGIN) -> tuple[DataFrame, DataFrame]:
+    """Distributed TransE fit → (E(e, vec), R(p, vec)); each epoch is
+    checkpointed (the iterative-algorithm lineage-truncation pattern)."""
+    from kgspark.util import materialize
+
+    E, R = transe_init(triples, d)
+    E, R = materialize(E), materialize(R)
+    for ep in range(epochs):
+        E, R = transe_epoch(triples, E, R, n_entities, ep, d, lr, margin)
+        E, R = materialize(E), materialize(R)
+    return E, R
+
+
+def transe_scores(triples: DataFrame, E: DataFrame, R: DataFrame) -> DataFrame:
+    """→ (s, p, o, score): score = −‖E[s]+R[p]−E[o]‖² (higher = more
+    plausible), the reference's TransE scoring surface."""
+    t = (
+        triples
+        .join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(F.broadcast(R.select("p", F.col("vec").alias("rp"))), "p")
+    )
+    dv = F.zip_with(F.zip_with(F.col("es"), F.col("rp"), lambda a, b: a + b),
+                    F.col("eo"), lambda a, b: a - b)
+    return t.select("s", "p", "o",
+                    F.round(-_dot(dv, dv), 6).alias("score"))
+
+
+def numpy_transe(rows: list[tuple[int, int, int]], n_entities: int,
+                 d: int = TE_DIM, epochs: int = TE_EPOCHS,
+                 lr: float = TE_LR, margin: float = TE_MARGIN):
+    """Spark-free replica of :func:`fit_transe` with IDENTICAL float-op
+    ORDER (sequential dot folds, sorted gradient accumulation) — the
+    pytest parity reference and the driver-oracle builder. Returns
+    ({e: vec}, {p: vec}) as python float lists."""
+    from kgspark.simsearch import _py_phash32
+
+    def vec(salt: str, ident) -> list[float]:
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(d)]
+
+    def sdot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    E = {e: vec("te", e) for e in ents}
+    R = {p: vec("tr", p) for p in sorted({r[1] for r in rows})}
+    for ep in range(epochs):
+        for e, v in E.items():
+            n = sdot(v, v) ** 0.5 or 1.0
+            E[e] = [x / n for x in v]
+        ce: dict[int, list] = {}
+        cr: dict[int, list] = {}
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"teneg|{s}|{p}|{o}|{ep}") % n_entities) + 1
+            if oneg not in E:
+                continue
+            dp = [(E[s][i] + R[p][i]) - E[o][i] for i in range(d)]
+            dn = [(E[s][i] + R[p][i]) - E[oneg][i] for i in range(d)]
+            if margin + sdot(dp, dp) - sdot(dn, dn) > 0:
+                k = f"{s}|{p}|{o}"
+                g_sp = [2.0 * a - 2.0 * b for a, b in zip(dp, dn)]
+                ce.setdefault(s, []).append((k, 0, g_sp))
+                ce.setdefault(o, []).append((k, 1, [-2.0 * a for a in dp]))
+                ce.setdefault(oneg, []).append((k, 2, [2.0 * a for a in dn]))
+                cr.setdefault(p, []).append((k, 0, g_sp))
+        for e, lst in ce.items():
+            grad = [0.0] * d
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            E[e] = [v - lr * g for v, g in zip(E[e], grad)]
+        for p, lst in cr.items():
+            grad = [0.0] * d
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            R[p] = [v - lr * g for v, g in zip(R[p], grad)]
+    return E, R
+
+
 # ---------------------------------------------------------------- SQL (oracle)
+
+
+def _sql_num(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"  # repr round-trips exactly
+
+
+def transe_scores_oracle_sql(raw_cte: str, d: int = TE_DIM,
+                             epochs: int = TE_EPOCHS, lr: float = TE_LR,
+                             margin: float = TE_MARGIN) -> str:
+    """Exact oracle for fit_transe → transe_scores: the numpy replica
+    (bit-identical float-op order, see numpy_transe) trains Spark-free on
+    the SAME triples pulled from DuckDB, and the final embedding tables
+    are embedded as VALUES (repr round-trip) — scores are then pure list
+    arithmetic in SQL. Same pattern as the PaTyBRED classifier oracles."""
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+    from kgspark.typesys import kg_ctes
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    base = kg_ctes(raw_cte)
+    rows = con.execute(materialize_ctes(
+        f"WITH {base} SELECT s, p, o FROM enc")).fetchall()
+    n_ents = con.execute(materialize_ctes(
+        f"WITH {base} SELECT count(*) FROM ent")).fetchone()[0]
+    con.close()
+    E, R = numpy_transe([(r[0], r[1], r[2]) for r in rows], n_ents,
+                        d, epochs, lr, margin)
+
+    def vals(tab) -> str:
+        return ", ".join(
+            f"({k}, [{', '.join(_sql_num(v) for v in vec)}])"
+            for k, vec in sorted(tab.items()))
+
+    return f"""
+WITH {kg_ctes(raw_cte)},
+teE(e, vec) AS (VALUES {vals(E)}),
+teR(p, vec) AS (VALUES {vals(R)}),
+tej AS (
+  SELECT enc.s, enc.p, enc.o,
+         es.vec AS esv, eo.vec AS eov, rp.vec AS rpv
+  FROM enc
+  JOIN teE es ON es.e = enc.s
+  JOIN teE eo ON eo.e = enc.o
+  JOIN teR rp ON rp.p = enc.p),
+tedv AS (
+  SELECT s, p, o,
+         list_transform(generate_series(1, {d}),
+                        i -> (esv[i] + rpv[i]) - eov[i]) AS dv
+  FROM tej)
+SELECT s, p, o, round(-list_dot_product(dv, dv), 6) AS score FROM tedv
+"""
 
 
 def _ev_sql(id_expr: str, salt: str, d: int) -> str:

@@ -362,3 +362,57 @@ def test_ann_ivf_recall_and_scaling_defaults(spark, duck, emb):
     assert simsearch.auto_centroids(500) == 16  # fixture-identical
     assert simsearch.auto_centroids(10 ** 6) == 1024
     assert simsearch.auto_centroids(10 ** 9) == 4096
+
+
+def test_transe_distributed_fit_matches_numpy_bit_exact(spark):
+    """M9 training: the distributed DataFrame-SGD TransE fit equals the
+    Spark-free numpy replica BIT-EXACTLY (same sequential folds, same
+    sorted gradient accumulation) after every epoch."""
+    from kgspark import embeddings
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1),
+            (2, 2, 4), (1, 2, 5), (3, 1, 3)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    E, R = embeddings.fit_transe(t, n_entities=5)
+    En, Rn = embeddings.numpy_transe(rows, n_entities=5)
+    es = {r["e"]: r["vec"] for r in E.collect()}
+    rs = {r["p"]: r["vec"] for r in R.collect()}
+    assert sorted(es) == sorted(En) and sorted(rs) == sorted(Rn)
+    for e, v in es.items():
+        assert v == En[e]  # bit-exact
+    for p, v in rs.items():
+        assert v == Rn[p]
+
+
+def test_transe_training_reduces_margin_loss(spark):
+    """The SGD actually learns: total hinge loss over the epoch-0
+    negative set decreases from the initial embeddings to the fitted
+    ones (deterministic, numpy replica)."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 1, 5), (5, 1, 6),
+            (6, 2, 1), (5, 2, 2), (4, 2, 3), (3, 2, 6), (2, 2, 5)]
+    n, d = 6, embeddings.TE_DIM
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def loss(E, R):
+        tot = 0.0
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"teneg|{s}|{p}|{o}|0") % n) + 1
+            if oneg not in E:
+                continue
+            dp = [(E[s][i] + R[p][i]) - E[o][i] for i in range(d)]
+            dn = [(E[s][i] + R[p][i]) - E[oneg][i] for i in range(d)]
+            tot += max(0.0, embeddings.TE_MARGIN
+                       + sdot(dp, dp) - sdot(dn, dn))
+        return tot
+
+    E0, R0 = embeddings.numpy_transe(rows, n, epochs=0)
+    E2, R2 = embeddings.numpy_transe(rows, n, epochs=2)
+    assert loss(E2, R2) < loss(E0, R0)
