@@ -224,14 +224,15 @@ def relevance_table(triples: DataFrame, R: int,
                 if not (p > R and (p - R) in syms)]
     sup1 = {r["p"]: r["cnt"] for r in
             aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
-    paths: dict[tuple[int, ...], DataFrame] = {}
-    supports: dict[tuple[int, ...], int] = {}
-    l_paths: list[tuple[int, ...]] = []
-    for p in relevant:
-        if sup1.get(p, 0) >= min_sup:
-            paths[(p,)] = aug.where(F.col("p") == p).select("s", "o")
-            supports[(p,)] = sup1[p]
-            l_paths.append((p,))
+    # relevance lookup spans EVERY relevant relation, not just min-sup
+    # singles: the reference populates path_rowscols/path_matrices for
+    # all singletons unconditionally (patybred.py:206-219), so a
+    # composition seed (min-sup) × sub-min-sup r2 is still a candidate
+    # with a computable relevance. Only the SEEDS are min-sup-gated.
+    paths = {(p,): aug.where(F.col("p") == p).select("s", "o")
+             for p in relevant}
+    supports = {(p,): sup1.get(p, 0) for p in relevant}
+    l_paths = [(p,) for p in relevant if sup1.get(p, 0) >= min_sup]
     cands = _level_candidates(l_paths, relevant, syms, R)
     pairs = [(c[:-1], c[-1]) for c in cands]
     rows = []
@@ -316,12 +317,20 @@ def _enumerate_paths(
     sup1 = {r["p"]: r["cnt"] for r in
             aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
 
+    # relevance-only singleton lookup over EVERY relevant relation (the
+    # reference populates path_rowscols for all singletons regardless of
+    # min-sup, patybred.py:206-219) — PathIndex.paths (the feature
+    # registry) stays min-sup-gated below.
+    sing_paths = {(p,): aug.where(F.col("p") == p).select("s", "o")
+                  for p in relevant}
+    sing_sups = {(p,): sup1.get(p, 0) for p in relevant}
+
     paths: dict[tuple[int, ...], DataFrame] = {}
     supports: dict[tuple[int, ...], int] = {}
     l_paths: list[tuple[int, ...]] = []
     for p in relevant:
         if sup1.get(p, 0) >= min_sup:
-            paths[(p,)] = aug.where(F.col("p") == p).select("s", "o")
+            paths[(p,)] = sing_paths[(p,)]
             supports[(p,)] = sup1[p]
             l_paths.append((p,))
 
@@ -332,7 +341,7 @@ def _enumerate_paths(
         if (max_paths_per_level is not None
                 and len(candidates) > max_paths_per_level):
             rel = path_relevances(
-                paths, supports,
+                {**sing_paths, **paths}, {**sing_sups, **supports},
                 [(c[:-1], c[-1]) for c in candidates], path_selection_mode)
             candidates = sorted(
                 candidates, key=lambda c: (-rel.get(c, 0.0), c)
@@ -1256,6 +1265,9 @@ rx2 AS (
     UNION
     SELECT c.p1, c.p2, b.e FROM cand2 c JOIN colset b ON b.p = c.p2)
   GROUP BY p1, p2),
+rsupall AS (
+  SELECT aug.p, count(*) AS support FROM aug
+  JOIN rels2 ON rels2.p = aug.p GROUP BY aug.p),
 rbase AS (
   SELECT c.p1, c.p2,
          coalesce(rinter.i, 0) AS i,
@@ -1266,7 +1278,11 @@ rbase AS (
   LEFT JOIN rinter ON rinter.p1 = c.p1 AND rinter.p2 = c.p2
   LEFT JOIN rx1 ON rx1.p1 = c.p1 AND rx1.p2 = c.p2
   LEFT JOIN rx2 ON rx2.p1 = c.p1 AND rx2.p2 = c.p2
-  JOIN singles sa ON sa.p = c.p1 JOIN singles sb ON sb.p = c.p2)
+  -- p1 is always a min-sup seed (c0 builds from `singles`), but p2
+  -- ranges over ALL relevant relations: its support must come from the
+  -- un-gated table or sub-min-sup candidates silently drop (the Spark
+  -- side, like the reference, computes their relevance)
+  JOIN singles sa ON sa.p = c.p1 JOIN rsupall sb ON sb.p = c.p2)
 SELECT p1, p2, mode, round(relevance, 6) AS relevance FROM (
   SELECT p1, p2, 'random' AS mode,
          CASE WHEN i > 0 THEN 1.0 ELSE 0.0 END AS relevance FROM rbase

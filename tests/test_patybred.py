@@ -477,6 +477,30 @@ def test_relevance_table_parity(spark, duck, graph, raw_cte):
     assert modes == set(patybred.RELEVANCE_MODES)
 
 
+def test_relevance_covers_sub_min_sup_relations(spark):
+    """A relation below MIN_SUP still participates as a composition
+    PARTNER with computable relevance — the reference populates
+    path_rowscols/path_matrices for every singleton regardless of
+    min-sup (patybred.py:206-219); only composition SEEDS are gated.
+    Regression: this used to KeyError in path_relevances (and the SQL
+    oracle silently dropped the candidate instead)."""
+    t = spark.createDataFrame(
+        [(1, 1, 2), (3, 1, 4), (5, 1, 6), (7, 1, 8), (9, 1, 10),
+         (11, 1, 2), (2, 2, 20), (4, 2, 21)],
+        "s long, p int, o long")
+    rt = patybred.relevance_table(t, 2)
+    rows = {(r["p1"], r["p2"], r["mode"]): r["relevance"]
+            for r in rt.collect()}
+    # relation 2 has support 2 < MIN_SUP=5 yet composes after seed 1:
+    # inter = |cols(1) ∩ rows(2)| = |{2,4,6,8,10} ∩ {2,4}| = 2,
+    # mult = sup(1)·sup(2) = 6·2
+    assert rows[(1, 2, "inter")] == 2.0
+    assert rows[(1, 2, "mult")] == 12.0
+    # the beam path runs the same relevance lookup — must not raise
+    idx = patybred.enumerate_paths(t, 2, max_paths_per_level=2)
+    assert idx.R == 2
+
+
 def test_lang_equivalence_merge(spark, graph):
     """U1: all lang:* memberships collapse onto the min-id lang type;
     non-lang memberships are untouched."""
