@@ -76,7 +76,8 @@ def transe_init(triples: DataFrame, d: int = TE_DIM
 
 def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
                  n_entities: int, epoch: int, d: int = TE_DIM,
-                 lr: float = TE_LR, margin: float = TE_MARGIN
+                 lr: float = TE_LR, margin: float = TE_MARGIN,
+                 deterministic: bool = True
                  ) -> tuple[DataFrame, DataFrame]:
     """One distributed SGD epoch of squared-L2 TransE margin training.
 
@@ -84,14 +85,23 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
     (pairwise margin ranking with corrupt-object negatives). Spark-first
     shape: entity vectors are normalized, per-triple gradient
     contributions come from joins against the (entity|relation, vec)
-    tables, and the per-parameter gradient sum folds a SORTED
-    collect_list — order-deterministic float addition, so the numpy
-    oracle replica is bit-identical (at 10^12-triple scale you would
-    trade that determinism for a plain partial-aggregate sum; the sort
-    key is the source triple, so list sizes are bounded by degree).
-    Negatives are content-keyed corrupt-objects (epoch-salted), the
-    reference's corruption scheme without rejection (documented
-    simplification).
+    tables, then summed per parameter. Negatives are content-keyed
+    corrupt-objects (epoch-salted), the reference's corruption scheme
+    without rejection (documented simplification).
+
+    Two gradient-accumulation modes:
+
+    * ``deterministic=True`` (fixture/oracle mode): the per-parameter
+      sum folds a SORTED ``collect_list`` — order-deterministic float
+      addition, bit-identical to the numpy oracle replica. The list per
+      entity grows with entity DEGREE, which on a real KG is unbounded
+      (a hub entity collects millions of structs into one row), so this
+      mode is for corpora small enough to oracle.
+    * ``deterministic=False`` (scale mode, the large-corpus default via
+      :func:`fit_transe`): plain per-slot ``F.sum`` partial aggregation
+      — map-side combine, no per-entity array, hub entities cost O(d)
+      state per partition instead of O(degree·d) in one row. Float sums
+      are partition-order-dependent (≈1 ulp noise), which SGD tolerates.
     """
     from kgspark.hashing import pick_mod
     from kgspark.util import materialize
@@ -153,22 +163,37 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
     ).select(F.col("c.e").alias("e"), F.col("c.i").alias("_i"),
              F.col("c.g").alias("g"), "_k")
 
-    zero = F.array(*[F.lit(0.0) for _ in range(d)])
+    if deterministic:
+        zero = F.array(*[F.lit(0.0) for _ in range(d)])
 
-    def folded(grp: DataFrame, key: str) -> DataFrame:
-        lst = F.array_sort(F.collect_list(F.struct(
-            F.col("_k").alias("k"), F.col("_i").alias("i"),
-            F.col("g").alias("g"))))
-        acc = F.aggregate(
-            lst, zero,
-            lambda a, s: F.zip_with(a, s["g"], lambda x, y: x + y))
-        return grp.groupBy(key).agg(acc.alias("grad"))
+        def folded(grp: DataFrame, key: str) -> DataFrame:
+            lst = F.array_sort(F.collect_list(F.struct(
+                F.col("_k").alias("k"), F.col("_i").alias("i"),
+                F.col("g").alias("g"))))
+            acc = F.aggregate(
+                lst, zero,
+                lambda a, s: F.zip_with(a, s["g"], lambda x, y: x + y))
+            return grp.groupBy(key).agg(acc.alias("grad"))
 
-    ge = folded(contrib, "e")
-    gr = folded(
-        t.select(F.col("_tp").alias("p"), F.lit(0).alias("_i"),
-                 F.col("g_sp").alias("g"),
-                 F.concat_ws("|", "s", "_tp", "o").alias("_k")), "p")
+        ge = folded(contrib, "e")
+        gr = folded(
+            t.select(F.col("_tp").alias("p"), F.lit(0).alias("_i"),
+                     F.col("g_sp").alias("g"),
+                     F.concat_ws("|", "s", "_tp", "o").alias("_k")), "p")
+    else:
+        # scale mode: per-slot partial sums — a plain hash aggregate
+        # with map-side combine; no collect_list, no per-entity array
+        def summed(grp: DataFrame, key: str) -> DataFrame:
+            agg = grp.groupBy(key).agg(
+                *[F.sum(F.col("g")[i]).alias(f"_g{i}") for i in range(d)])
+            return agg.select(
+                key, F.array(*[F.col(f"_g{i}") for i in range(d)])
+                .alias("grad"))
+
+        ge = summed(contrib, "e")
+        gr = summed(
+            t.select(F.col("_tp").alias("p"), F.col("g_sp").alias("g")),
+            "p")
 
     # gradient tables derive FROM E/R, so rename their keys before the
     # self-join (attribute-lineage disambiguation)
@@ -185,17 +210,35 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
     return E2, R2
 
 
+# Above this entity count fit_transe defaults to the scale-mode
+# (partial-sum) gradient aggregation: entity degree — the sorted fold's
+# per-row memory — is unbounded on real KGs, and a corpus this large is
+# past oracle scale anyway.
+TE_DETERMINISTIC_MAX = 1_000_000
+
+
 def fit_transe(triples: DataFrame, n_entities: int, d: int = TE_DIM,
                epochs: int = TE_EPOCHS, lr: float = TE_LR,
-               margin: float = TE_MARGIN) -> tuple[DataFrame, DataFrame]:
+               margin: float = TE_MARGIN,
+               deterministic: bool | None = None
+               ) -> tuple[DataFrame, DataFrame]:
     """Distributed TransE fit → (E(e, vec), R(p, vec)); each epoch is
-    checkpointed (the iterative-algorithm lineage-truncation pattern)."""
+    checkpointed (the iterative-algorithm lineage-truncation pattern).
+
+    ``deterministic=None`` auto-selects the gradient path: the
+    bit-reproducible sorted fold (oracle parity) up to
+    ``TE_DETERMINISTIC_MAX`` entities, the hub-safe partial-sum
+    aggregation beyond (see :func:`transe_epoch`); pass an explicit
+    bool to force either."""
     from kgspark.util import materialize
 
+    if deterministic is None:
+        deterministic = n_entities <= TE_DETERMINISTIC_MAX
     E, R = transe_init(triples, d)
     E, R = materialize(E), materialize(R)
     for ep in range(epochs):
-        E, R = transe_epoch(triples, E, R, n_entities, ep, d, lr, margin)
+        E, R = transe_epoch(triples, E, R, n_entities, ep, d, lr, margin,
+                            deterministic)
         E, R = materialize(E), materialize(R)
     return E, R
 

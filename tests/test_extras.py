@@ -384,6 +384,46 @@ def test_transe_distributed_fit_matches_numpy_bit_exact(spark):
         assert v == Rn[p]
 
 
+def test_transe_scale_mode_learns_and_tracks_deterministic(spark):
+    """The scale-mode (partial-sum) gradient path trains: its fitted
+    embeddings match the deterministic fold to float-reassociation
+    tolerance, and its hinge loss decreases from the initial
+    embeddings just like the deterministic mode's."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 1, 5), (5, 1, 6),
+            (6, 2, 1), (5, 2, 2), (4, 2, 3), (3, 2, 6), (2, 2, 5)]
+    n, d = 6, embeddings.TE_DIM
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    Es, Rs = embeddings.fit_transe(t, n, deterministic=False)
+    es = {r["e"]: r["vec"] for r in Es.collect()}
+    rs = {r["p"]: r["vec"] for r in Rs.collect()}
+    En, Rn = embeddings.numpy_transe(rows, n)
+    for e, v in es.items():
+        assert max(abs(a - b) for a, b in zip(v, En[e])) < 1e-9
+    for p, v in rs.items():
+        assert max(abs(a - b) for a, b in zip(v, Rn[p])) < 1e-9
+
+    def sdot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def loss(E, R):
+        tot = 0.0
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"teneg|{s}|{p}|{o}|0") % n) + 1
+            if oneg not in E:
+                continue
+            dp = [(E[s][i] + R[p][i]) - E[o][i] for i in range(d)]
+            dn = [(E[s][i] + R[p][i]) - E[oneg][i] for i in range(d)]
+            tot += max(0.0, embeddings.TE_MARGIN
+                       + sdot(dp, dp) - sdot(dn, dn))
+        return tot
+
+    E0, R0 = embeddings.numpy_transe(rows, n, epochs=0)
+    assert loss(es, rs) < loss(E0, R0)
+
+
 def test_transe_training_reduces_margin_loss(spark):
     """The SGD actually learns: total hinge loss over the epoch-0
     negative set decreases from the initial embeddings to the fitted

@@ -73,6 +73,29 @@ def test_rank_has_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in t
 
 
+def test_transe_scale_mode_gradient_plan_has_no_collect_list(spark):
+    """The scale-mode (deterministic=False) gradient fold must be a
+    plain partial-sum hash aggregate: no collect_list / array_sort per
+    entity, so hub-entity degree never materializes as one giant row.
+    The deterministic mode keeps the sorted fold (oracle parity) — the
+    probe is validated against it."""
+    from kgspark import embeddings
+
+    t = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1)],
+        "s long, p int, o long")
+    E, R = embeddings.transe_init(t)
+    E2d, _ = embeddings.transe_epoch(t, E, R, n_entities=5, epoch=0,
+                                     deterministic=True)
+    assert "collect_list" in _plan(E2d)  # probe sanity: fold is visible
+    E2s, _ = embeddings.transe_epoch(t, E, R, n_entities=5, epoch=0,
+                                     deterministic=False)
+    p = _plan(E2s)
+    assert "collect_list" not in p
+    assert "array_sort" not in p
+    assert "HashAggregate" in p
+
+
 def test_corrections_plan_no_cartesian_no_single_partition(spark):
     """The correction funnel (blocking self-join + rescore joins +
     bounded per-suspect window) must stay free of cartesian products and
