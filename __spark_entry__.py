@@ -532,6 +532,12 @@ def _q_hole_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.hole_scores(pipeline.build_graph(spark, sf).triples)
 
 
+def _q_rescal_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 scoring surface #3: RESCAL bilinear scores e_s'·W_p·e_o over
+    deterministic hash-derived parameters — zero-shuffle projection."""
+    return embeddings.rescal_scores(pipeline.build_graph(spark, sf).triples)
+
+
 def _q_transe_scores(spark: SparkSession, sf: str) -> DataFrame:
     """M9 TRAINING: distributed DataFrame-SGD TransE fit (margin ranking,
     content-keyed corrupt-object negatives, order-deterministic gradient
@@ -640,7 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block C: last driver-evidenced r04 (spine)
     #   block D: last driver-evidenced r04 (round-4 additions)
     q = {
-        # -- block A: semantics/oracle touched in round 5
+        # -- block A: new in round 5 + semantics/oracle touched in round 5
+        "kg_rescal_scores": _q_rescal_scores,
         "kg_path_relevance": _q_path_relevance,
         "kg_transe_scores": _q_transe_scores,
         "stream_dedup_docs": _q_stream_dedup,
@@ -838,6 +845,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": simsearch.ann_ivf_sql(),
         "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
         "kg_hole_scores": embeddings.hole_scores_sql(raw),
+        "kg_rescal_scores": embeddings.rescal_scores_sql(raw),
         "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),

@@ -48,6 +48,37 @@ def hole_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
     return triples.select("s", "p", "o", score.alias("score"))
 
 
+def rescal_w(p_col: Column, d: int = DIM_EMB) -> Column:
+    """Deterministic d×d relation matrix W_p (row-major nested arrays)
+    from the hash substrate: W[i][j] = (h('rw'|p|i|j) % 1000)/1000 − 0.5."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda j: (phash32([p_col, i, j], "rw") % 1000) / 1000.0 - 0.5))
+
+
+def rescal_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
+    """→ (s, p, o, score): RESCAL bilinear triple score
+    eₛᵀ · W_p · e_o — the third of the reference's four embedding-model
+    families (embeddings.py drives skge's RESCAL the same way it drives
+    HolE; TF-ProjE is the only family left unported — no TF here).
+
+    Pure column algebra like :func:`hole_scores`: W_p·e_o first (d
+    sequential row dots), then eₛ against that — both folds are the
+    JVM sequential _dot, bit-identical to DuckDB's list_dot_product,
+    so the oracle reconstructs exact values. Zero joins / shuffles —
+    embarrassingly parallel at any scale. With TRAINED parameters the
+    same contraction applies after a broadcast join of a (p, W) table
+    (R relations × d² floats — a broadcast dim at any realistic R).
+    """
+    es = hash_embedding(F.col("s"), "re", d)
+    eo = hash_embedding(F.col("o"), "re", d)
+    wv = F.transform(rescal_w(F.col("p"), d), lambda row: _dot(row, eo))
+    return triples.select(
+        "s", "p", "o", F.round(_dot(es, wv), 6).alias("score"))
+
+
 # ------------------------------------------------------- TransE training (M9)
 
 TE_DIM = 16
@@ -376,6 +407,30 @@ def _ev_sql(id_expr: str, salt: str, d: int) -> str:
     h = sql_phash32(key, "duckdb")
     return (f"list_transform(generate_series(0, {d - 1}), "
             f"i -> (({h} % 1000) / 1000.0 - 0.5))")
+
+
+def rescal_scores_sql(triples_cte: str, d: int = DIM_EMB) -> str:
+    """Oracle for :func:`rescal_scores`: identical hash-derived eₛ/e_o
+    and W_p, identical fold order (list_dot_product ≡ the Spark
+    sequential _dot)."""
+    from kgspark.typesys import kg_ctes
+
+    es, eo = _ev_sql("s", "re", d), _ev_sql("o", "re", d)
+    wkey = ("concat_ws('|', 'rw', CAST(p AS VARCHAR), "
+            "CAST(i AS VARCHAR), CAST(j AS VARCHAR))")
+    h = sql_phash32(wkey, "duckdb")
+    w = (f"list_transform(generate_series(0, {d - 1}), i -> "
+         f"list_transform(generate_series(0, {d - 1}), j -> "
+         f"(({h} % 1000) / 1000.0 - 0.5)))")
+    return f"""
+WITH {kg_ctes(triples_cte)},
+rsv AS (SELECT s, p, o, {es} AS es, {eo} AS eo, {w} AS w FROM enc),
+rsw AS (
+  SELECT s, p, o, es,
+         list_transform(w, row -> list_dot_product(row, eo)) AS wv
+  FROM rsv)
+SELECT s, p, o, round(list_dot_product(es, wv), 6) AS score FROM rsw
+"""
 
 
 def hole_scores_sql(triples_cte: str, d: int = DIM_EMB) -> str:

@@ -384,6 +384,36 @@ def test_transe_distributed_fit_matches_numpy_bit_exact(spark):
         assert v == Rn[p]
 
 
+def test_rescal_scores_match_python_replica(spark):
+    """M9 RESCAL surface: e_s'·W_p·e_o equals a pure-python replica with
+    identical hash-derived parameters and fold order."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    d = embeddings.DIM_EMB
+    rows = [(1, 1, 2), (2, 2, 3), (3, 1, 1)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.rescal_scores(t).collect()}
+
+    def vec(salt, ident):
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(d)]
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    for s, p, o in rows:
+        es, eo = vec("re", s), vec("re", o)
+        W = [[(_py_phash32(f"rw|{p}|{i}|{j}") % 1000) / 1000.0 - 0.5
+              for j in range(d)] for i in range(d)]
+        wv = [sdot(W[i], eo) for i in range(d)]
+        assert got[(s, p, o)] == round(sdot(es, wv), 6)
+
+
 def test_transe_scale_mode_learns_and_tracks_deterministic(spark):
     """The scale-mode (partial-sum) gradient path trains: its fitted
     embeddings match the deterministic fold to float-reassociation
