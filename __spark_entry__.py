@@ -17,9 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgspark import (correct, dedup, embeddings, encode, errorsgen, evalops,
-                     extract, hierarchy, link, multimodal, patybred, pipeline,
-                     scoring, simsearch, synth, textstats, typesys)
+from kgspark import (constraints, correct, dedup, embeddings, encode,
+                     errorsgen, evalops, extract, hierarchy, link, multimodal,
+                     patybred, pipeline, scoring, simsearch, synth, textstats,
+                     typesys)
 
 P_ERROR = 0.05
 
@@ -532,6 +533,15 @@ def _q_hole_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.hole_scores(pipeline.build_graph(spark, sf).triples)
 
 
+def _q_shacl_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """M8 as a table: suspect DT leaves compiled to SPARQL FILTER
+    clauses (reference shacl-sparql.py:10-160) over the same noisy-graph
+    DT fit the kg_patybred_dt_ranked check uses."""
+    g = pipeline.build_graph(spark, sf)
+    b = patybred.pb_bundle(spark, sf, P_ERROR, clf="dt")
+    return constraints.shacl_rules(b.models, g.relations, g.type_names)
+
+
 def _q_rescal_scores(spark: SparkSession, sf: str) -> DataFrame:
     """M9 scoring surface #3: RESCAL bilinear scores e_s'·W_p·e_o over
     deterministic hash-derived parameters — zero-shuffle projection."""
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block D: last driver-evidenced r04 (round-4 additions)
     q = {
         # -- block A: new in round 5 + semantics/oracle touched in round 5
+        "kg_shacl_rules": _q_shacl_rules,
         "kg_rescal_scores": _q_rescal_scores,
         "kg_path_relevance": _q_path_relevance,
         "kg_transe_scores": _q_transe_scores,
@@ -846,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ccorr_topk": simsearch.ccorr_topk_sql(),
         "kg_hole_scores": embeddings.hole_scores_sql(raw),
         "kg_rescal_scores": embeddings.rescal_scores_sql(raw),
+        "kg_shacl_rules": constraints.shacl_rules_oracle_sql(raw, P_ERROR),
         "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),

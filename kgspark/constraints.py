@@ -74,42 +74,61 @@ def _shape_chunk(rname: str, filters: list[str]) -> str:
     )
 
 
-def compile_shacl_dt(dt_models: DataFrame, relations: DataFrame,
-                     type_names: DataFrame, min_sup: int = 5,
-                     max_prob: float = 0.5) -> str:
-    """Decision-tree leaves → SHACL-SPARQL constraint document.
+def leaf_rules(leaves, rel_names: dict[int, str],
+               type_names: dict[int, str], R: int, min_sup: int = 5,
+               max_prob: float = 0.5) -> list[tuple[int, str, int, str]]:
+    """DT error leaves → sorted rule rows (p, rname, leaf, clause).
 
-    The published mechanism (/root/reference/shacl-sparql.py:10-160): the
-    per-relation tree is pruned to leaves confidently classifying errors
-    (condition on the leaf's class share + min support), and each such
-    leaf becomes a FILTER clause — the conjunction of its root-to-leaf
-    conditions: positive EXISTS for required features, negated EXISTS for
-    forbidden ones. A relation's constraint is the disjunction of its
-    error leaves. ``dt_models`` is the (p, leaf, prob, n, feats_true,
-    feats_false) table from kgspark.patybred.fit_models_dt.
+    The published pruning (/root/reference/shacl-sparql.py:64-120): keep
+    leaves confidently classifying errors (class share ≤ max_prob with
+    ≥ min_sup training rows); each becomes one FILTER clause — the
+    conjunction of its root-to-leaf conditions (positive EXISTS for
+    required features, negated for forbidden). Pure python over the tiny
+    collected leaf table, shared by the document compiler and the
+    queryable rule table (and, run on the oracle's Spark-free DT fit, by
+    the kg_shacl_rules oracle builder).
     """
-    rel_names = {int(r["id"]): r["name"] for r in relations.collect()}
-    R = len(rel_names)
-    tnames = {int(r["t"]): r["name"] for r in type_names.collect()}
-
-    per_rel: dict[int, list[str]] = {}
-    for row in dt_models.collect():
+    rows: list[tuple[int, str, int, str]] = []
+    for row in leaves:
         # suspect leaf: mostly-negative with enough support (the
         # reference's `condition(value) and sum(value) >= minsup`)
         if row["prob"] > max_prob or row["n"] < min_sup:
             continue
         conds = []
         for f in sorted(row["feats_true"]):
-            c = _feature_condition(f, rel_names, tnames, R, present=True)
+            c = _feature_condition(f, rel_names, type_names, R, present=True)
             if c:
                 conds.append(c)
         for f in sorted(row["feats_false"]):
-            c = _feature_condition(f, rel_names, tnames, R, present=False)
+            c = _feature_condition(f, rel_names, type_names, R,
+                                   present=False)
             if c:
                 conds.append(c)
         if conds:
-            per_rel.setdefault(int(row["p"]), []).append(
-                "  &&  ".join(conds))
+            p = int(row["p"])
+            rows.append((p, rel_names[p], int(row["leaf"]),
+                         "  &&  ".join(conds)))
+    return sorted(rows)
+
+
+def compile_shacl_dt(dt_models: DataFrame, relations: DataFrame,
+                     type_names: DataFrame, min_sup: int = 5,
+                     max_prob: float = 0.5) -> str:
+    """Decision-tree leaves → SHACL-SPARQL constraint document.
+
+    The published mechanism (/root/reference/shacl-sparql.py:10-160): a
+    relation's constraint is the disjunction of its error-leaf clauses
+    (see :func:`leaf_rules`). ``dt_models`` is the (p, leaf, prob, n,
+    feats_true, feats_false) table from kgspark.patybred.fit_models_dt.
+    """
+    rel_names = {int(r["id"]): r["name"] for r in relations.collect()}
+    R = len(rel_names)
+    tnames = {int(r["t"]): r["name"] for r in type_names.collect()}
+
+    per_rel: dict[int, list[str]] = {}
+    for p, _, _, clause in leaf_rules(dt_models.collect(), rel_names,
+                                      tnames, R, min_sup, max_prob):
+        per_rel.setdefault(p, []).append(clause)
 
     chunks = [
         f"@prefix : <{PREFIX}> . ",
@@ -118,6 +137,69 @@ def compile_shacl_dt(dt_models: DataFrame, relations: DataFrame,
     for p in sorted(per_rel):
         chunks.append(_shape_chunk(rel_names[p], per_rel[p]))
     return "\n".join(chunks)
+
+
+def shacl_rules(dt_models: DataFrame, relations: DataFrame,
+                type_names: DataFrame, min_sup: int = 5,
+                max_prob: float = 0.5) -> DataFrame:
+    """M8 as a queryable table → (p, rname, leaf, clause): one row per
+    suspect DT leaf with its compiled SPARQL FILTER clause. The driver
+    oracle re-derives the identical rows from the Spark-free DuckDB DT
+    fit (patybred._pb_fit_from_duckdb) — like the classifier oracles,
+    conditioned only on the shared fit + compile procedures."""
+    spark = dt_models.sparkSession
+    rel_names = {int(r["id"]): r["name"] for r in relations.collect()}
+    R = len(rel_names)
+    tnames = {int(r["t"]): r["name"] for r in type_names.collect()}
+    rows = leaf_rules(dt_models.collect(), rel_names, tnames, R,
+                      min_sup, max_prob)
+    schema = "p int, rname string, leaf int, clause string"
+    df = spark.createDataFrame(rows or [(0, "", 0, "")], schema)
+    return df if rows else df.limit(0)
+
+
+def shacl_rules_oracle_sql(raw_cte: str, p_error: float, R: int = 4,
+                           min_sup: int = 5, max_prob: float = 0.5) -> str:
+    """Exact oracle for :func:`shacl_rules` over the pb_bundle(clf='dt')
+    models: the DT is re-fitted Spark-free in DuckDB+numpy
+    (patybred._pb_fit_from_duckdb — the same replica behind the
+    kg_patybred_dt_ranked oracle), its suspect leaves compiled by the
+    shared :func:`leaf_rules`, and the resulting rows embedded as
+    VALUES."""
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+    from kgspark.patybred import _pb_fit_from_duckdb
+    from kgspark.typesys import kg_ctes, type_names_sql
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    leaves = _pb_fit_from_duckdb(raw_cte, p_error, sf_dir, "dt", R)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    rel = con.execute(materialize_ctes(
+        f"WITH {kg_ctes(raw_cte)} SELECT CAST(id AS INT) AS id, name "
+        "FROM rel")).fetchall()
+    tn = con.execute(materialize_ctes(type_names_sql(raw_cte))).fetchall()
+    con.close()
+    rel_names = {int(i): n for i, n in rel}
+    tnames = {int(t): n for t, n in tn}
+    rows = [] if leaves is None or len(leaves) == 0 else leaf_rules(
+        leaves.to_dict("records"), rel_names, tnames, R, min_sup, max_prob)
+    if not rows:
+        return ("SELECT CAST(NULL AS INT) AS p, CAST(NULL AS VARCHAR) AS "
+                "rname, CAST(NULL AS INT) AS leaf, CAST(NULL AS VARCHAR) "
+                "AS clause WHERE FALSE")
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({p}, '{esc(rn)}', {leaf}, '{esc(cl)}')"
+        for p, rn, leaf, cl in rows)
+    return (f"SELECT p, rname, leaf, clause FROM (VALUES {vals}) "
+            "AS shrl(p, rname, leaf, clause)")
 
 
 def compile_shacl(models: DataFrame, relations: DataFrame,
