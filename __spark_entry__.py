@@ -830,14 +830,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_iqr_outlier": evalops.iqr_outlier_sql(raw),
         "kg_iforest_outlier": evalops.iforest_outlier_sql(raw),
         "kg_stream_triples_raw": raw,
+        # First-batch-wins contract (streaming.stream_dedup_docs): the
+        # representative is the min doc_id in the FIRST batch carrying
+        # the sha. Every sha here appears in batch 1 (batch 2 is a
+        # subset with +1e6 ids), so that is min(doc_id) over documents
+        # alone — robust to micro-batch grouping/ordering, unlike a
+        # global min over both drops.
         "stream_dedup_docs": (
-            "WITH sddu AS ("
-            "  SELECT doc_id, text FROM documents"
-            "  UNION ALL"
-            "  SELECT doc_id + 1000000, text FROM documents"
-            "  WHERE doc_id % 25 = 0) "
             "SELECT sha256(text) AS sha, min(doc_id) AS doc_id "
-            "FROM sddu GROUP BY text"
+            "FROM documents GROUP BY text"
         ),
         "kg_paths_depth2_beam": patybred.paths_depth2_beam_sql(raw, BEAM_N),
         "kg_triples_filtered": extract.filtered_triples_sql(

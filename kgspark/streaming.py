@@ -112,32 +112,59 @@ def run_extraction_stream(spark: SparkSession, src_dir: str, out_dir: str,
     return w.start()
 
 
-def stream_dedup_docs(docs_stream: DataFrame) -> DataFrame:
+def stream_dedup_docs(docs_stream: DataFrame,
+                      ttl_seconds: int | None = None) -> DataFrame:
     """Stateful streaming exact-dedup (custom operator via
     ``applyInPandasWithState``): emit each content sha256 exactly ONCE
-    across all micro-batches — the first-seen representative (min doc_id
-    within the first batch that carries the sha); later arrivals of the
-    same sha are dropped against the per-group state.
+    across all micro-batches; later arrivals of the same sha are dropped
+    against the per-group state.
+
+    CONTRACT (first-batch-wins): the emitted representative is the min
+    doc_id within the FIRST micro-batch that carries the sha — the
+    streaming analog of "first seen wins" at ingest time. That is NOT
+    in general the global min over the whole stream (a later batch may
+    carry a smaller id); callers wanting the global min run the batch
+    ``dedup.dedup_exact`` compaction over the accumulated log. The
+    driver oracle is phrased against the first-containing batch.
 
     This is the streaming form of ``dedup.dedup_exact`` for a
     training-data ingest pipeline: state is keyed by sha (bounded by the
     number of DISTINCT contents, partitioned across the state store), so
     it scales the same way the batch hash-groupBy does.
+
+    State hygiene at 100 TB: by default state never expires (exact
+    dedup semantics — a sha stays deduped forever). ``ttl_seconds``
+    switches to a processing-time TTL: a sha idle longer than the TTL
+    is evicted and a LATER re-arrival re-emits (bounded state traded
+    for bounded-recall dedup — the standard windowed-dedup compromise).
+    Pair either mode with the RocksDB state-store provider
+    (``run_dedup_stream(rocksdb_state=True)`` or
+    ``session.get_spark(extra=ROCKSDB_STATE_CONF)``) so state lives
+    off-heap/on-disk instead of executor memory.
     """
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def first_seen(key, pdfs, state: GroupState):
+        if ttl_seconds is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
+            if ttl_seconds is not None:
+                state.setTimeoutDuration(ttl_seconds * 1000)
             return  # sha already emitted in an earlier micro-batch
         best = None
         for pdf in pdfs:
             m = int(pdf["doc_id"].min())
             best = m if best is None else min(best, m)
         state.update((True,))
+        if ttl_seconds is not None:
+            state.setTimeoutDuration(ttl_seconds * 1000)
         yield pd.DataFrame({"sha": [key[0]], "doc_id": [best]})
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_seconds is not None else GroupStateTimeout.NoTimeout)
     return (
         docs_stream
         .withColumn("sha", F.sha2("text", 256))
@@ -147,19 +174,35 @@ def stream_dedup_docs(docs_stream: DataFrame) -> DataFrame:
             outputStructType="sha string, doc_id long",
             stateStructType="seen boolean",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
 
+# State-store provider for large dedup state: RocksDB keeps per-key state
+# off-heap with incremental checkpointing — the 100 TB default. Pass to
+# get_spark(extra=...) or use run_dedup_stream(rocksdb_state=True).
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+}
+
+
 def run_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
                      checkpoint_dir: str,
-                     max_files_per_trigger: int = 1):
+                     max_files_per_trigger: int = 1,
+                     ttl_seconds: int | None = None,
+                     rocksdb_state: bool = False):
     """src parquet dir of documents → first-seen (sha, doc_id) log.
 
     ``maxFilesPerTrigger=1`` processes one source file per micro-batch
     (files in mtime order), so cross-batch state is genuinely exercised
     whenever the source has several files. Drains with availableNow.
+
+    ``ttl_seconds`` / ``rocksdb_state`` are the state-hygiene knobs for
+    long-running ingest (see :func:`stream_dedup_docs`); the provider
+    conf is applied for this query and restored afterwards.
     """
     schema = spark.read.parquet(src_dir).schema
     docs = (
@@ -167,16 +210,46 @@ def run_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
-    q = (
-        stream_dedup_docs(docs)
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None) if rocksdb_state else None
+    if rocksdb_state:
+        spark.conf.set(prov_key, ROCKSDB_STATE_CONF[prov_key])
+    try:
+        q = (
+            stream_dedup_docs(docs, ttl_seconds)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if ttl_seconds is None:
+            q.awaitTermination()
+        else:
+            # With ProcessingTimeTimeout registered, the runner keeps
+            # scheduling (empty) micro-batches to evaluate expiry, so
+            # availableNow never self-terminates: drain until a batch
+            # consumes no input (backlog done), then stop explicitly.
+            import time
+
+            def _rows(p):
+                return p["numInputRows"] if isinstance(p, dict) \
+                    else p.numInputRows
+
+            while q.isActive:
+                lp = q.lastProgress
+                if lp is not None and _rows(lp) == 0:
+                    q.stop()
+                    break
+                time.sleep(0.5)
+            q.awaitTermination()
+    finally:
+        if rocksdb_state:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
     return q
 
 

@@ -184,3 +184,66 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     # drained restart: no re-emission (exactly-once on the sha log)
     streaming.run_dedup_stream(spark, src, out, ck)
     assert spark.read.parquet(out).count() == 4
+    # restart WITH existing state against a new drop: old shas (even
+    # with new doc_ids) never re-emit; only the genuinely new text does
+    more = spark.createDataFrame(
+        [(200, "text body 1", "en", "s", 11),
+         (201, "brand new text", "en", "s", 14)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    one_file(more, os.path.join(src, "b3.parquet"))
+    os.utime(os.path.join(src, "b3.parquet"), (now + 120, now + 120))
+    streaming.run_dedup_stream(spark, src, out, ck)
+    after = {(r["sha"], r["doc_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert len(after) == 5 and after - got == {
+        (more.selectExpr("sha2(text, 256) s").collect()[1]["s"], 201)}
+
+
+def test_streaming_dedup_rocksdb_provider_and_ttl(spark, tmp_path):
+    """State-hygiene knobs: the RocksDB state-store provider yields the
+    identical first-seen log (and the session conf is restored), and
+    TTL mode still dedups within the un-expired window."""
+    import os
+    import shutil
+    import time
+
+    from kgspark import streaming
+
+    src, out, ck, out2, ck2 = (
+        str(tmp_path / d) for d in ("src", "out", "ck", "out2", "ck2"))
+    os.makedirs(src)
+    rows = [(i, f"ttl text {i % 3}", "en", "s", 10) for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int")
+    dups = docs.where("doc_id < 3").withColumn(
+        "doc_id", F.col("doc_id") + 50)
+
+    def one_file(df, dest):
+        stage = dest + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+
+    now = time.time()
+    one_file(docs, os.path.join(src, "b1.parquet"))
+    one_file(dups, os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(src, "b2.parquet"), (now, now))
+
+    want = {(r["sha"], r["doc_id"])
+            for r in docs.selectExpr("sha2(text, 256) AS sha", "doc_id")
+            .groupBy("sha").agg(F.min("doc_id").alias("doc_id")).collect()}
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(prov, "unset")
+    streaming.run_dedup_stream(spark, src, out, ck, rocksdb_state=True)
+    assert spark.conf.get(prov, "unset") == before  # restored
+    assert {(r["sha"], r["doc_id"])
+            for r in spark.read.parquet(out).collect()} == want
+
+    # TTL mode, generous window: nothing expires during the drain, so
+    # the exact-dedup contract holds unchanged
+    streaming.run_dedup_stream(spark, src, out2, ck2, ttl_seconds=3600)
+    assert {(r["sha"], r["doc_id"])
+            for r in spark.read.parquet(out2).collect()} == want
