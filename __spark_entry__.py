@@ -248,7 +248,8 @@ def _q_corrections(spark, sf):
     ranked = pipeline.flagship_ranked(spark, sf, P_ERROR)
     return correct.correct_errors(
         ranked, ranked.select("s", "p", "o"), g.types, g.entities,
-        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN,
+        n_entities=g.n_entities)
 
 
 def _q_corrections_excl(spark, sf):
@@ -262,12 +263,14 @@ def _q_corrections_excl(spark, sf):
         ranked, facts, g.types, min_score=CORR_MIN, min_score_gain=CORR_GAIN)
     return correct.correct_errors(
         ranked, facts, g.types, g.entities,
-        min_score=CORR_MIN, min_score_gain=CORR_GAIN, exclude=tc)
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN, exclude=tc,
+        n_entities=g.n_entities)
 
 
 def _q_errors_k3(spark: SparkSession, sf: str) -> DataFrame:
     g = pipeline.build_graph(spark, sf)
-    return errorsgen.inject_errors_kind3(g.triples, g.entities, P_ERROR)
+    return errorsgen.inject_errors_kind3(g.triples, g.entities, P_ERROR,
+                                         n_entities=g.n_entities)
 
 
 def _q_corrections_pb(spark: SparkSession, sf: str) -> DataFrame:
@@ -281,7 +284,8 @@ def _q_corrections_pb(spark: SparkSession, sf: str) -> DataFrame:
     b = patybred.pb_bundle(spark, sf, P_ERROR, clf="lgr", kind=3)
     return correct.correct_errors_patybred(
         b.ranked, b.facts, g.types, g.entities, b.idx, b.models,
-        min_score=CORR_MIN, min_score_gain=CORR_GAIN)
+        min_score=CORR_MIN, min_score_gain=CORR_GAIN,
+        n_entities=g.n_entities)
 
 
 # Reference acceptance gate (correct_errors.py:17-18): exercised
@@ -373,7 +377,7 @@ def _q_corrections_ref_gate(spark: SparkSession, sf: str) -> DataFrame:
     return correct.correct_errors_patybred(
         b.ranked, b.facts, g.types, g.entities, b.idx, b.models,
         min_score=REF_MIN_SCORE, min_score_gain=REF_GAIN,
-        require_multitype=True)
+        require_multitype=True, n_entities=g.n_entities)
 
 
 def _q_type_corrections(spark, sf):
@@ -414,7 +418,8 @@ def _q_corrected_triples(spark, sf):
     facts = ranked.select("s", "p", "o")
     corr = correct.correct_errors(ranked, facts, g.types, g.entities,
                                   min_score=CORR_MIN,
-                                  min_score_gain=CORR_GAIN)
+                                  min_score_gain=CORR_GAIN,
+                                  n_entities=g.n_entities)
     return correct.apply_corrections(facts, corr)
 
 

@@ -153,17 +153,19 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     else:
         rf = synth.repo_files(spark, sf_dir)
 
-    # Discarded warm-up of the e2e chain (JIT, codegen caches) — the same
-    # treatment the --scaling protocol applies to both sides. Round 3's
-    # recorded suite regression traced to a cold+contended single-shot
-    # run; the warm pass is disclosed in the JSON ("e2e_warmup").
-    warmup = os.environ.get("SPARK_GRAFT_SUITE_WARMUP", "1") == "1"
-    if warmup:
-        _e2e(spark, rf)
+    # BOTH protocols in one run, under distinct fields: the FIRST pass
+    # is the cold single-shot number (the r1–r3 cross-round metric,
+    # kept as e2e_sec/e2e_cold_sec) and doubles as the warm-up; the
+    # second pass is the warm number (e2e_warm_sec, JIT + codegen + OS
+    # page cache — the --scaling protocol's treatment). Cross-round
+    # comparisons must pair cold-to-cold or warm-to-warm.
+    t0 = time.time()
+    timings_cold, n_triples, _ = _e2e(spark, rf)
+    e2e_cold_sec = time.time() - t0
 
     t_all0 = time.time()
     timings, n_triples, (tr_raw, tr, enc, types, noisy) = _e2e(spark, rf)
-    e2e_sec = time.time() - t_all0
+    e2e_warm_sec = time.time() - t_all0
 
     if extras:
         from pyspark.sql import functions as F
@@ -225,11 +227,14 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     spark.stop()
     return {
         "total_sec": round(total, 3),
-        "e2e_sec": round(e2e_sec, 3),
-        "e2e_warmup": warmup,
+        "e2e_sec": round(e2e_cold_sec, 3),  # cold single-shot (r1–r3 metric)
+        "e2e_cold_sec": round(e2e_cold_sec, 3),
+        "e2e_warm_sec": round(e2e_warm_sec, 3),
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_cold": {k: round(v, 3) for k, v in timings_cold.items()},
         "n_triples": n_triples,
-        "triples_per_sec": round(n_triples / e2e_sec, 1),
+        "triples_per_sec": round(n_triples / e2e_cold_sec, 1),
+        "triples_per_sec_warm": round(n_triples / e2e_warm_sec, 1),
     }
 
 
@@ -334,11 +339,14 @@ def main() -> None:
             "value": r["total_sec"],
             "unit": "sec",
             "queries": r["queries"],
+            "queries_cold": r["queries_cold"],
             "sf": sf,
             "e2e_sec": r["e2e_sec"],
-            "e2e_warmup": r["e2e_warmup"],
+            "e2e_cold_sec": r["e2e_cold_sec"],
+            "e2e_warm_sec": r["e2e_warm_sec"],
             "n_triples": r["n_triples"],
             "triples_per_sec": r["triples_per_sec"],
+            "triples_per_sec_warm": r["triples_per_sec_warm"],
             "cores": int(cpus),
         }
     print(json.dumps(out))

@@ -75,7 +75,8 @@ def auto_max_bucket(n_entities: int) -> int:
 
 def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
                     max_bucket: int | None | str = "auto",
-                    subjects: DataFrame | None = None) -> DataFrame:
+                    subjects: DataFrame | None = None,
+                    n_entities: int | None = None) -> DataFrame:
     """→ (a, b, dist): entity-id pairs with similar names, both directions.
 
     SymSpell distance-1 delete variants block the candidates (recall 1.0
@@ -96,8 +97,11 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
     pair set for those ``a`` is identical (the right side still spans
     the full dictionary).
     """
+    # pipeline callers already know the dictionary size — passing it
+    # skips an entities.count() job per call
     if max_bucket == "auto":
-        max_bucket = auto_max_bucket(entities.count())
+        max_bucket = auto_max_bucket(
+            entities.count() if n_entities is None else n_entities)
     m = entities.select(
         F.col("id"),
         F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("norm"))
@@ -133,6 +137,7 @@ def correct_errors(
     conf: float = 0.95,
     require_multitype: bool = False,
     exclude: DataFrame | None = None,
+    n_entities: int | None = None,
 ) -> DataFrame:
     """→ (s, p, o, score, o_new, new_score, dist) accepted corrections.
 
@@ -162,7 +167,8 @@ def correct_errors(
 
     cands = name_candidates(
         entities, max_dist,
-        subjects=suspects.select(F.col("o").alias("id")).distinct())
+        subjects=suspects.select(F.col("o").alias("id")).distinct(),
+        n_entities=n_entities)
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
         "o")
@@ -227,6 +233,7 @@ def correct_errors_patybred(
     max_dist: int = MAX_DIST,
     conf: float = 0.95,
     require_multitype: bool = False,
+    n_entities: int | None = None,
 ) -> DataFrame:
     """M7 with the PaTyBRED scorer — the configuration where confusion
     repair actually works: a typo-confused object has no path context for
@@ -256,7 +263,8 @@ def correct_errors_patybred(
         suspects = suspects.join(multi, "o", "left_semi")
     cands = name_candidates(
         entities, max_dist,
-        subjects=suspects.select(F.col("o").alias("id")).distinct())
+        subjects=suspects.select(F.col("o").alias("id")).distinct(),
+        n_entities=n_entities)
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
         "o")

@@ -111,7 +111,8 @@ def inject_errors_kind2(triples: DataFrame, types: DataFrame,
 
 
 def inject_errors_kind3(triples: DataFrame, entities: DataFrame,
-                        p_error: float = 0.05, max_dist: int = 2) -> DataFrame:
+                        p_error: float = 0.05, max_dist: int = 2,
+                        n_entities: int | None = None) -> DataFrame:
     """Kind-3: typo-CONFUSION corruption — replace the object with a
     name-similar entity (Damerau-Levenshtein ≤ max_dist via SymSpell
     delete-variant blocking, the same candidate machinery the correction
@@ -129,7 +130,7 @@ def inject_errors_kind3(triples: DataFrame, entities: DataFrame,
     from kgspark.correct import name_candidates
     from kgspark.ordering import grouped_ordinal
 
-    cands = name_candidates(entities, max_dist)
+    cands = name_candidates(entities, max_dist, n_entities=n_entities)
     gsz = cands.groupBy("a").agg(F.count("*").alias("gsz"))
     members = grouped_ordinal(cands, ["a"], ["dist", "b"], out="_midx")
 

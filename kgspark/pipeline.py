@@ -102,7 +102,8 @@ def noisy_facts(g: Graph, p_error: float = 0.05, kind: int = 1,
     elif kind == 2:
         errs = errorsgen.inject_errors_kind2(g.triples, g.types, p_error)
     else:
-        errs = errorsgen.inject_errors_kind3(g.triples, g.entities, p_error)
+        errs = errorsgen.inject_errors_kind3(g.triples, g.entities, p_error,
+                                             n_entities=g.n_entities)
     base = g.triples
     if replace:
         base = base.join(

@@ -307,6 +307,22 @@ def test_symspell_auto_bucket_cap(spark):
     assert hot_u  # uncapped blocking would have paid |bucket|² here
 
 
+def test_name_candidates_skips_count_when_n_entities_given(spark):
+    """Callers that know the dictionary size must not pay an extra
+    count() job for the auto bucket cap (pinned: count() poisoned)."""
+    from kgspark import correct
+
+    ents = spark.createDataFrame(
+        [(1, "alpha"), (2, "alphb")], "id long, name string")
+
+    def boom():
+        raise AssertionError("entities.count() job should be skipped")
+
+    ents.count = boom
+    got = correct.name_candidates(ents, n_entities=2).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(1, 2), (2, 1)}
+
+
 def test_ccorr_matches_fft_oracle(spark, emb):
     """F8: the slice-rotation dot-product formulation must equal the
     reference's FFT computation (util.py:390-391,
