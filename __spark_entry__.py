@@ -553,6 +553,12 @@ def _q_rescal_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.rescal_scores(pipeline.build_graph(spark, sf).triples)
 
 
+def _q_proje_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 scoring surface #4: ProjE 'simple' combination scores —
+    completes the reference's 4 embedding-model families."""
+    return embeddings.proje_scores(pipeline.build_graph(spark, sf).triples)
+
+
 def _q_transe_scores(spark: SparkSession, sf: str) -> DataFrame:
     """M9 TRAINING: distributed DataFrame-SGD TransE fit (margin ranking,
     content-keyed corrupt-object negatives, order-deterministic gradient
@@ -664,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block A: new in round 5 + semantics/oracle touched in round 5
         "kg_shacl_rules": _q_shacl_rules,
         "kg_rescal_scores": _q_rescal_scores,
+        "kg_proje_scores": _q_proje_scores,
         "kg_path_relevance": _q_path_relevance,
         "kg_transe_scores": _q_transe_scores,
         "stream_dedup_docs": _q_stream_dedup,
@@ -864,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hole_scores": embeddings.hole_scores_sql(raw),
         "kg_rescal_scores": embeddings.rescal_scores_sql(raw),
         "kg_shacl_rules": constraints.shacl_rules_oracle_sql(raw, P_ERROR),
+        "kg_proje_scores": embeddings.proje_scores_sql(raw),
         "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),

@@ -48,6 +48,33 @@ def hole_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
     return triples.select("s", "p", "o", score.alias("score"))
 
 
+def proje_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
+    """→ (s, p, o, score): ProjE 'simple'-mode triple score — the fourth
+    of the reference's embedding-model families (embeddings.py:404-448
+    test/predict_proba: hr = h⊙w₁ + r⊙w₂, score = (tanh(hr)·h +
+    tanh(hr)·o)/2 with zero-init combination bias). The TF trainer
+    (embeddings.py:164-400) needs TensorFlow (absent), so like RESCAL
+    this is the SCORING surface over deterministic hash-derived
+    parameters: pure column algebra, zero joins/shuffles, with the
+    global combination weights as hash vectors. Trained parameters slot
+    in as a broadcast (p-independent) weight row without changing the
+    composition."""
+    es = hash_embedding(F.col("s"), "pe", d)
+    eo = hash_embedding(F.col("o"), "pe", d)
+    rp = hash_embedding(F.col("p"), "pr", d)
+    w1 = hash_embedding(F.lit(0), "pw1", d)
+    w2 = hash_embedding(F.lit(0), "pw2", d)
+    hr = F.zip_with(F.zip_with(es, w1, lambda a, b: a * b),
+                    F.zip_with(rp, w2, lambda a, b: a * b),
+                    lambda a, b: a + b)
+    # tanh via the exp identity — the same formula the DuckDB oracle
+    # evaluates (its build has no tanh), keeping both sides' float ops
+    # aligned like the sigmoid in the LR scoring oracles
+    c = F.transform(hr, lambda x: 1.0 - 2.0 / (F.exp(2.0 * x) + 1.0))
+    score = F.round((_dot(c, es) + _dot(c, eo)) / 2.0, 6)
+    return triples.select("s", "p", "o", score.alias("score"))
+
+
 def rescal_w(p_col: Column, d: int = DIM_EMB) -> Column:
     """Deterministic d×d relation matrix W_p (row-major nested arrays)
     from the hash substrate: W[i][j] = (h('rw'|p|i|j) % 1000)/1000 − 0.5."""
@@ -407,6 +434,31 @@ def _ev_sql(id_expr: str, salt: str, d: int) -> str:
     h = sql_phash32(key, "duckdb")
     return (f"list_transform(generate_series(0, {d - 1}), "
             f"i -> (({h} % 1000) / 1000.0 - 0.5))")
+
+
+def proje_scores_sql(triples_cte: str, d: int = DIM_EMB) -> str:
+    """Oracle for :func:`proje_scores`: identical hash-derived vectors,
+    identical elementwise-combine → tanh → sequential-dot order."""
+    from kgspark.typesys import kg_ctes
+
+    es, eo, rp = (_ev_sql("s", "pe", d), _ev_sql("o", "pe", d),
+                  _ev_sql("p", "pr", d))
+    w1, w2 = _ev_sql("0", "pw1", d), _ev_sql("0", "pw2", d)
+    return f"""
+WITH {kg_ctes(triples_cte)},
+pjv AS (SELECT s, p, o, {es} AS es, {eo} AS eo, {rp} AS rp,
+               {w1} AS w1, {w2} AS w2 FROM enc),
+pjc AS (
+  SELECT s, p, o, es, eo,
+         list_transform(generate_series(1, {d}),
+                        i -> (1.0 - 2.0 / (exp(2.0 * (es[i] * w1[i]
+                              + rp[i] * w2[i])) + 1.0))) AS c
+  FROM pjv)
+SELECT s, p, o,
+       round((list_dot_product(c, es) + list_dot_product(c, eo)) / 2.0,
+             6) AS score
+FROM pjc
+"""
 
 
 def rescal_scores_sql(triples_cte: str, d: int = DIM_EMB) -> str:

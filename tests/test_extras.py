@@ -430,6 +430,39 @@ def test_rescal_scores_match_python_replica(spark):
         assert got[(s, p, o)] == round(sdot(es, wv), 6)
 
 
+def test_proje_scores_match_python_replica(spark):
+    """M9 ProjE 'simple' surface: hr = h⊙w1 + r⊙w2, score =
+    (tanh(hr)·h + tanh(hr)·o)/2 — equals a pure-python replica (tanh
+    via the shared exp identity)."""
+    import math
+
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    d = embeddings.DIM_EMB
+    rows = [(1, 1, 2), (2, 2, 3), (3, 1, 1)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.proje_scores(t).collect()}
+
+    def vec(salt, ident):
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(d)]
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    w1, w2 = vec("pw1", 0), vec("pw2", 0)
+    for s, p, o in rows:
+        es, eo, rp = vec("pe", s), vec("pe", o), vec("pr", p)
+        c = [1.0 - 2.0 / (math.exp(2.0 * (es[i] * w1[i] + rp[i] * w2[i]))
+                          + 1.0) for i in range(d)]
+        assert got[(s, p, o)] == round((sdot(c, es) + sdot(c, eo)) / 2.0, 6)
+
+
 def test_transe_scale_mode_learns_and_tracks_deterministic(spark):
     """The scale-mode (partial-sum) gradient path trains: its fitted
     embeddings match the deterministic fold to float-reassociation
