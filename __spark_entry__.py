@@ -569,6 +569,16 @@ def _q_transe_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.transe_scores(g.triples, E, R)
 
 
+def _q_hole_trained_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 HolE TRAINING: distributed DataFrame-SGD margin-ranking fit
+    over the holographic composition (ccorr/cconv gradients, same
+    deterministic-fold machinery as TransE) then trained-parameter
+    scoring; the oracle re-trains the bit-identical numpy replica."""
+    g = pipeline.build_graph(spark, sf)
+    E, R = embeddings.fit_hole(g.triples, g.n_entities)
+    return embeddings.hole_trained_scores(g.triples, E, R)
+
+
 def _q_token_stats(spark, sf):
     return textstats.token_stats(_docs(spark, sf))
 
@@ -671,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_rules": _q_shacl_rules,
         "kg_rescal_scores": _q_rescal_scores,
         "kg_proje_scores": _q_proje_scores,
+        "kg_hole_trained_scores": _q_hole_trained_scores,
         "kg_path_relevance": _q_path_relevance,
         "kg_transe_scores": _q_transe_scores,
         "stream_dedup_docs": _q_stream_dedup,
@@ -872,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rescal_scores": embeddings.rescal_scores_sql(raw),
         "kg_shacl_rules": constraints.shacl_rules_oracle_sql(raw, P_ERROR),
         "kg_proje_scores": embeddings.proje_scores_sql(raw),
+        "kg_hole_trained_scores": embeddings.hole_trained_scores_oracle_sql(
+            raw),
         "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),

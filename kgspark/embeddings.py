@@ -206,12 +206,24 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
         "s", "_tp", "o", "o_neg",
         g_sp.alias("g_sp"), g_o.alias("g_o"), g_n.alias("g_n")))
 
+    return _apply_grads(E, R, t.withColumnRenamed("g_sp", "g_s")
+                        .withColumn("g_r", F.col("g_s")), d, lr,
+                        deterministic)
+
+
+def _apply_grads(E: DataFrame, R: DataFrame, t: DataFrame, d: int,
+                 lr: float, deterministic: bool
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Shared SGD-update machinery: fold the per-triple gradient table
+    ``t`` (s, _tp, o, o_neg, g_s, g_o, g_n, g_r) per entity/relation and
+    apply ``x ← x − lr·Σg`` — the deterministic sorted fold or the
+    hub-safe partial-sum aggregate (see :func:`transe_epoch`)."""
     # role index (0=subject, 1=object, 2=corrupt object) disambiguates
     # multiple same-triple contributions to one entity (s == o self-loops)
     contrib = t.select(
         F.explode(F.array(
             F.struct(F.lit(0).alias("i"), F.col("s").alias("e"),
-                     F.col("g_sp").alias("g")),
+                     F.col("g_s").alias("g")),
             F.struct(F.lit(1).alias("i"), F.col("o").alias("e"),
                      F.col("g_o").alias("g")),
             F.struct(F.lit(2).alias("i"), F.col("o_neg").alias("e"),
@@ -236,7 +248,7 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
         ge = folded(contrib, "e")
         gr = folded(
             t.select(F.col("_tp").alias("p"), F.lit(0).alias("_i"),
-                     F.col("g_sp").alias("g"),
+                     F.col("g_r").alias("g"),
                      F.concat_ws("|", "s", "_tp", "o").alias("_k")), "p")
     else:
         # scale mode: per-slot partial sums — a plain hash aggregate
@@ -250,7 +262,7 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
 
         ge = summed(contrib, "e")
         gr = summed(
-            t.select(F.col("_tp").alias("p"), F.col("g_sp").alias("g")),
+            t.select(F.col("_tp").alias("p"), F.col("g_r").alias("g")),
             "p")
 
     # gradient tables derive FROM E/R, so rename their keys before the
@@ -316,6 +328,253 @@ def transe_scores(triples: DataFrame, E: DataFrame, R: DataFrame) -> DataFrame:
                     F.round(-_dot(dv, dv), 6).alias("score"))
 
 
+# ------------------------------------------------------- HolE training (M9)
+
+HO_MARGIN = 0.2  # skge default (reference embeddings.py:566 margin=0.2)
+HO_LR = 0.1
+HO_EPOCHS = 2
+
+
+def _chain_dot(a: Column, b: Column, idxs: list[int]) -> Column:
+    """Σ_i a[i]·b[idxs[i]] as a LEFT-ASSOCIATED plain-arithmetic chain —
+    value-identical to the sequential HOF fold (0.0+p₀ ≡ p₀, then the
+    same add order) but whole-stage-codegen-able: higher-order lambdas
+    (aggregate/zip_with) evaluate interpreted per row, which made the
+    HOF formulation of the HolE epoch ~35× slower than this unrolling
+    at d=16."""
+    expr = a[0] * b[idxs[0]]
+    for i in range(1, len(idxs)):
+        expr = expr + a[i] * b[idxs[i]]
+    return expr
+
+
+def ccorr_fast(a: Column, b: Column, d: int) -> Column:
+    """Unrolled :func:`kgspark.simsearch.ccorr_col` (same values):
+    ccorr(a,b)[k] = Σ_i a[i]·b[(i+k) mod d]."""
+    return F.array(*[
+        _chain_dot(a, b, [(i + k) % d for i in range(d)])
+        for k in range(d)])
+
+
+def _hole_grad_kernel(d: int, margin: float, deterministic: bool):
+    """Arrow-batched HolE gradient kernel for ``mapInPandas``.
+
+    The epoch's per-triple math is dense fixed-order linear algebra
+    (five circular correlations/convolutions of width d per triple);
+    expressing it in JVM column algebra is either interpreted per slot
+    (higher-order lambdas) or a ~20k-node unrolled plan whose codegen
+    compile dominates the epoch — exactly the case the Pandas-UDF
+    escape hatch exists for. Two modes:
+
+    * ``deterministic=True``: sequential python-float folds, the exact
+      op order of :func:`numpy_hole` — oracle-bit-exact;
+    * ``deterministic=False`` (scale): vectorized ``np.einsum`` over a
+      rolled index tensor — order-free float sums, ~100× the
+      throughput, the large-corpus default (pairs with the partial-sum
+      gradient fold downstream).
+
+    Emits only ACTIVE rows (margin hinge satisfied) with their
+    gradient arrays: ∂η/∂s = ccorr(r,o), ∂η/∂o = cconv(r,s),
+    ∂η/∂r = ccorr(s,o), differenced positive-vs-negative.
+    """
+    import numpy as np
+    import pandas as pd
+
+    idx_cc = np.array([[(i + k) % d for i in range(d)] for k in range(d)])
+    idx_cv = np.array([[(j - k) % d for k in range(d)] for j in range(d)])
+
+    def seq_cc(a, b):
+        out = []
+        for k in range(d):
+            acc = 0.0
+            for i in range(d):
+                acc += a[i] * b[(i + k) % d]
+            out.append(acc)
+        return out
+
+    def seq_conv(a, b):
+        out = []
+        for j in range(d):
+            acc = 0.0
+            for k in range(d):
+                acc += a[k] * b[(j - k) % d]
+            out.append(acc)
+        return out
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cols = {"s": [], "_tp": [], "o": [], "o_neg": [],
+                    "g_s": [], "g_o": [], "g_n": [], "g_r": []}
+            if deterministic:
+                # zip over columns: itertuples would positional-rename
+                # the leading-underscore _tp column
+                for s_, tp_, o_, on_, es_, eo_, en_, rp_ in zip(
+                        pdf["s"], pdf["_tp"], pdf["o"], pdf["o_neg"],
+                        pdf["es"], pdf["eo"], pdf["en"], pdf["rp"]):
+                    if en_ is None:
+                        continue
+                    es = [float(x) for x in es_]
+                    eo = [float(x) for x in eo_]
+                    en = [float(x) for x in en_]
+                    rp = [float(x) for x in rp_]
+                    ccp, ccn = seq_cc(es, eo), seq_cc(es, en)
+                    if margin + sdot(rp, ccn) - sdot(rp, ccp) <= 0:
+                        continue
+                    ccro, ccrn = seq_cc(rp, eo), seq_cc(rp, en)
+                    cv = seq_conv(rp, es)
+                    cols["s"].append(s_)
+                    cols["_tp"].append(tp_)
+                    cols["o"].append(o_)
+                    cols["o_neg"].append(on_)
+                    cols["g_s"].append([a - b for a, b in zip(ccrn, ccro)])
+                    cols["g_o"].append([-x for x in cv])
+                    cols["g_n"].append(cv)
+                    cols["g_r"].append([a - b for a, b in zip(ccn, ccp)])
+            else:
+                ok = pdf["en"].notna().to_numpy()
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                es = np.stack(pdf["es"].to_numpy())
+                eo = np.stack(pdf["eo"].to_numpy())
+                en = np.stack(pdf["en"].to_numpy())
+                rp = np.stack(pdf["rp"].to_numpy())
+
+                def cc(a, b):
+                    return np.einsum("ni,nki->nk", a, b[:, idx_cc])
+
+                def conv(a, b):
+                    return np.einsum("nk,njk->nj", a, b[:, idx_cv])
+
+                ccp, ccn = cc(es, eo), cc(es, en)
+                act = (margin + np.einsum("nk,nk->n", rp, ccn)
+                       - np.einsum("nk,nk->n", rp, ccp)) > 0
+                if not act.any():
+                    continue
+                sel = pdf[act]
+                g_r = (ccn - ccp)[act]
+                g_s = (cc(rp, en) - cc(rp, eo))[act]
+                cv = conv(rp, es)[act]
+                cols["s"] = sel["s"].tolist()
+                cols["_tp"] = sel["_tp"].tolist()
+                cols["o"] = sel["o"].tolist()
+                cols["o_neg"] = sel["o_neg"].tolist()
+                cols["g_s"] = list(g_s)
+                cols["g_o"] = list(-cv)
+                cols["g_n"] = list(cv)
+                cols["g_r"] = list(g_r)
+            if cols["s"]:
+                yield pd.DataFrame(cols)
+
+    return batches
+
+
+def hole_init(triples: DataFrame, d: int = TE_DIM
+              ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic initial HolE parameter tables (salts distinct from
+    both the TransE trainer and the untrained hole_scores substrate)."""
+    ents = (triples.select(F.col("s").alias("e"))
+            .unionByName(triples.select(F.col("o").alias("e"))).distinct())
+    rels = triples.select(F.col("p")).distinct()
+    E = ents.select("e", hash_embedding(F.col("e"), "hoe", d).alias("vec"))
+    R = rels.select("p", hash_embedding(F.col("p"), "hor", d).alias("vec"))
+    return E, R
+
+
+def hole_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
+               n_entities: int, epoch: int, d: int = TE_DIM,
+               lr: float = HO_LR, margin: float = HO_MARGIN,
+               deterministic: bool = True
+               ) -> tuple[DataFrame, DataFrame]:
+    """One distributed SGD epoch of HolE margin-ranking training.
+
+    Reference analog: skge's HolE trainer behind the SKGEWrapper
+    (embeddings.py:565-600 — pairwise ranking with corrupt-object
+    negatives over the holographic composition η = r·ccorr(s,o)).
+    Spark-first shape mirrors :func:`transe_epoch` (same joins, same
+    deterministic-fold/partial-sum gradient modes via _apply_grads);
+    the ranking hinge is on the RAW composition η rather than skge's
+    sigmoid activation (documented simplification — keeps every
+    gradient polynomial, so the numpy replica is bit-exact with no
+    exp-implementation caveat). Gradients of η: ∂/∂r = ccorr(s,o),
+    ∂/∂s = ccorr(r,o), ∂/∂o = cconv(r,s).
+    """
+    from kgspark.hashing import pick_mod
+    from kgspark.util import materialize
+
+    E = materialize(_l2norm_rows(E))
+    t = triples.select("s", F.col("p").alias("_tp"), "o").withColumn(
+        "o_neg",
+        pick_mod([F.col("s"), F.col("_tp"), F.col("o"), F.lit(epoch)],
+                 n_entities, "honeg") + 1)
+    t = (
+        t.join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(E.select(F.col("e").alias("o_neg"),
+                       F.col("vec").alias("en")), "o_neg", "left")
+        .join(F.broadcast(R.withColumnRenamed("vec", "rp")),
+              F.col("_tp") == F.col("p"))
+        .drop("p")
+    )
+    # the hinge + gradient math runs in ONE Arrow pass per epoch (see
+    # _hole_grad_kernel: sequential folds for oracle parity, einsum at
+    # scale) — the joins and the gradient application stay JVM-side
+    out_schema = ("s long, _tp int, o long, o_neg long, "
+                  "g_s array<double>, g_o array<double>, "
+                  "g_n array<double>, g_r array<double>")
+    t = materialize(
+        t.select("s", "_tp", "o", "o_neg", "es", "eo", "en", "rp")
+        .mapInPandas(_hole_grad_kernel(d, margin, deterministic),
+                     out_schema))
+    return _apply_grads(E, R, t, d, lr, deterministic)
+
+
+def fit_hole(triples: DataFrame, n_entities: int, d: int = TE_DIM,
+             epochs: int = HO_EPOCHS, lr: float = HO_LR,
+             margin: float = HO_MARGIN,
+             deterministic: bool | None = None
+             ) -> tuple[DataFrame, DataFrame]:
+    """Distributed HolE fit → (E(e, vec), R(p, vec)); per-epoch
+    checkpointing and the deterministic/scale gradient-mode auto-switch
+    exactly as :func:`fit_transe`."""
+    from kgspark.util import materialize
+
+    if deterministic is None:
+        deterministic = n_entities <= TE_DETERMINISTIC_MAX
+    E, R = hole_init(triples, d)
+    E, R = materialize(E), materialize(R)
+    for ep in range(epochs):
+        E, R = hole_epoch(triples, E, R, n_entities, ep, d, lr, margin,
+                          deterministic)
+        E, R = materialize(E), materialize(R)
+    return E, R
+
+
+def hole_trained_scores(triples: DataFrame, E: DataFrame, R: DataFrame,
+                        d: int = TE_DIM) -> DataFrame:
+    """→ (s, p, o, score): η = R[p]·ccorr(E[s], E[o]) over TRAINED
+    tables — the reference's HolE scoring surface (embeddings.py:636)
+    with the fitted parameters joined in."""
+    t = (
+        triples
+        .join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(F.broadcast(R.select("p", F.col("vec").alias("rp"))), "p")
+    )
+    cc = ccorr_fast(F.col("es"), F.col("eo"), d)
+    t = t.select("s", "p", "o", cc.alias("_cc"), "rp")
+    sc = _chain_dot(F.col("rp"), F.col("_cc"), list(range(d)))
+    return t.select("s", "p", "o", F.round(sc, 6).alias("score"))
+
+
 def numpy_transe(rows: list[tuple[int, int, int]], n_entities: int,
                  d: int = TE_DIM, epochs: int = TE_EPOCHS,
                  lr: float = TE_LR, margin: float = TE_MARGIN):
@@ -357,6 +616,79 @@ def numpy_transe(rows: list[tuple[int, int, int]], n_entities: int,
                 ce.setdefault(o, []).append((k, 1, [-2.0 * a for a in dp]))
                 ce.setdefault(oneg, []).append((k, 2, [2.0 * a for a in dn]))
                 cr.setdefault(p, []).append((k, 0, g_sp))
+        for e, lst in ce.items():
+            grad = [0.0] * d
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            E[e] = [v - lr * g for v, g in zip(E[e], grad)]
+        for p, lst in cr.items():
+            grad = [0.0] * d
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            R[p] = [v - lr * g for v, g in zip(R[p], grad)]
+    return E, R
+
+
+def numpy_hole(rows: list[tuple[int, int, int]], n_entities: int,
+               d: int = TE_DIM, epochs: int = HO_EPOCHS,
+               lr: float = HO_LR, margin: float = HO_MARGIN):
+    """Spark-free replica of :func:`fit_hole` with IDENTICAL float-op
+    ORDER (sequential correlation/convolution folds, sorted gradient
+    accumulation) — pytest parity reference and driver-oracle builder."""
+    from kgspark.simsearch import _py_phash32
+
+    def vec(salt: str, ident) -> list[float]:
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(d)]
+
+    def sdot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cc(a, b) -> list[float]:
+        out = []
+        for k in range(d):
+            acc = 0.0
+            for i in range(d):
+                acc += a[i] * b[(i + k) % d]
+            out.append(acc)
+        return out
+
+    def conv(a, b) -> list[float]:
+        out = []
+        for j in range(d):
+            acc = 0.0
+            for k in range(d):
+                acc += a[k] * b[(j - k) % d]
+            out.append(acc)
+        return out
+
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    E = {e: vec("hoe", e) for e in ents}
+    R = {p: vec("hor", p) for p in sorted({r[1] for r in rows})}
+    for ep in range(epochs):
+        for e, v in E.items():
+            n = sdot(v, v) ** 0.5 or 1.0
+            E[e] = [x / n for x in v]
+        ce: dict[int, list] = {}
+        cr: dict[int, list] = {}
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"honeg|{s}|{p}|{o}|{ep}") % n_entities) + 1
+            if oneg not in E:
+                continue
+            ccp, ccn = cc(E[s], E[o]), cc(E[s], E[oneg])
+            if margin + sdot(R[p], ccn) - sdot(R[p], ccp) > 0:
+                k = f"{s}|{p}|{o}"
+                ccro, ccrn = cc(R[p], E[o]), cc(R[p], E[oneg])
+                cv = conv(R[p], E[s])
+                ce.setdefault(s, []).append(
+                    (k, 0, [a - b for a, b in zip(ccrn, ccro)]))
+                ce.setdefault(o, []).append((k, 1, [-x for x in cv]))
+                ce.setdefault(oneg, []).append((k, 2, cv))
+                cr.setdefault(p, []).append(
+                    (k, 0, [a - b for a, b in zip(ccn, ccp)]))
         for e, lst in ce.items():
             grad = [0.0] * d
             for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
@@ -426,6 +758,57 @@ tedv AS (
                         i -> (esv[i] + rpv[i]) - eov[i]) AS dv
   FROM tej)
 SELECT s, p, o, round(-list_dot_product(dv, dv), 6) AS score FROM tedv
+"""
+
+
+def hole_trained_scores_oracle_sql(raw_cte: str, d: int = TE_DIM,
+                                   epochs: int = HO_EPOCHS,
+                                   lr: float = HO_LR,
+                                   margin: float = HO_MARGIN) -> str:
+    """Exact oracle for fit_hole → hole_trained_scores: the numpy
+    replica trains Spark-free on the same triples (bit-identical fold
+    order, see numpy_hole), final tables embedded as VALUES, and the
+    score is the list_dot_product ccorr chain (≡ the Spark folds)."""
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+    from kgspark.typesys import kg_ctes
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    base = kg_ctes(raw_cte)
+    rows = con.execute(materialize_ctes(
+        f"WITH {base} SELECT s, p, o FROM enc")).fetchall()
+    n_ents = con.execute(materialize_ctes(
+        f"WITH {base} SELECT count(*) FROM ent")).fetchone()[0]
+    con.close()
+    E, R = numpy_hole([(r[0], r[1], r[2]) for r in rows], n_ents,
+                      d, epochs, lr, margin)
+
+    def vals(tab) -> str:
+        return ", ".join(
+            f"({k}, [{', '.join(_sql_num(v) for v in vec)}])"
+            for k, vec in sorted(tab.items()))
+
+    cc = (f"list_transform(generate_series(0, {d - 1}), "
+          f"k -> list_dot_product(esv, "
+          f"list_concat(list_slice(eov, k + 1, {d}), "
+          f"list_slice(eov, 1, k))))")
+    return f"""
+WITH {kg_ctes(raw_cte)},
+hoE(e, vec) AS (VALUES {vals(E)}),
+hoR(p, vec) AS (VALUES {vals(R)}),
+hoj AS (
+  SELECT enc.s, enc.p, enc.o,
+         es.vec AS esv, eo.vec AS eov, rp.vec AS rpv
+  FROM enc
+  JOIN hoE es ON es.e = enc.s
+  JOIN hoE eo ON eo.e = enc.o
+  JOIN hoR rp ON rp.p = enc.p)
+SELECT s, p, o, round(list_dot_product(rpv, {cc}), 6) AS score FROM hoj
 """
 
 

@@ -503,6 +503,95 @@ def test_transe_scale_mode_learns_and_tracks_deterministic(spark):
     assert loss(es, rs) < loss(E0, R0)
 
 
+def test_hole_distributed_fit_matches_numpy_bit_exact(spark):
+    """M9 HolE training: the distributed fit (ccorr/cconv gradients,
+    sorted folds) equals the Spark-free numpy replica bit-exactly, and
+    the trained-score surface matches replica-computed scores."""
+    from kgspark import embeddings
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1),
+            (2, 2, 4), (1, 2, 5), (3, 1, 3)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    E, R = embeddings.fit_hole(t, n_entities=5)
+    En, Rn = embeddings.numpy_hole(rows, n_entities=5)
+    es = {r["e"]: r["vec"] for r in E.collect()}
+    rs = {r["p"]: r["vec"] for r in R.collect()}
+    assert sorted(es) == sorted(En) and sorted(rs) == sorted(Rn)
+    for e, v in es.items():
+        assert v == En[e]  # bit-exact
+    for p, v in rs.items():
+        assert v == Rn[p]
+
+    d = embeddings.TE_DIM
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cc(a, b):
+        return [sum(a[i] * b[(i + k) % d] for i in range(d))
+                for k in range(d)]
+
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.hole_trained_scores(t, E, R).collect()}
+    for s, p, o in rows:
+        assert got[(s, p, o)] == round(sdot(Rn[p], cc(En[s], En[o])), 6)
+
+
+def test_hole_scale_mode_tracks_deterministic(spark):
+    """The scale-mode HolE path (vectorized einsum kernel + partial-sum
+    gradient fold) matches the deterministic fit to float-reassociation
+    tolerance."""
+    from kgspark import embeddings
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1),
+            (2, 2, 4), (1, 2, 5), (3, 1, 3)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    Es, Rs = embeddings.fit_hole(t, n_entities=5, deterministic=False)
+    En, Rn = embeddings.numpy_hole(rows, n_entities=5)
+    es = {r["e"]: r["vec"] for r in Es.collect()}
+    rs = {r["p"]: r["vec"] for r in Rs.collect()}
+    for e, v in es.items():
+        assert max(abs(a - b) for a, b in zip(v, En[e])) < 1e-9
+    for p, v in rs.items():
+        assert max(abs(a - b) for a, b in zip(v, Rn[p])) < 1e-9
+
+
+def test_hole_training_reduces_margin_loss(spark):
+    """The HolE SGD learns: total hinge loss over the epoch-0 negative
+    set decreases from the initial parameters to the fitted ones."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 1, 5), (5, 1, 6),
+            (6, 2, 1), (5, 2, 2), (4, 2, 3), (3, 2, 6), (2, 2, 5)]
+    n, d = 6, embeddings.TE_DIM
+
+    def sdot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cc(a, b):
+        return [sum(a[i] * b[(i + k) % d] for i in range(d))
+                for k in range(d)]
+
+    def loss(E, R):
+        tot = 0.0
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"honeg|{s}|{p}|{o}|0") % n) + 1
+            if oneg not in E:
+                continue
+            tot += max(0.0, embeddings.HO_MARGIN
+                       + sdot(R[p], cc(E[s], E[oneg]))
+                       - sdot(R[p], cc(E[s], E[o])))
+        return tot
+
+    E0, R0 = embeddings.numpy_hole(rows, n, epochs=0)
+    E2, R2 = embeddings.numpy_hole(rows, n, epochs=2)
+    assert loss(E2, R2) < loss(E0, R0)
+
+
 def test_transe_training_reduces_margin_loss(spark):
     """The SGD actually learns: total hinge loss over the epoch-0
     negative set decreases from the initial embeddings to the fitted
