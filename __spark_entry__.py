@@ -647,8 +647,11 @@ FIXTURE_PARTS = "8"
 # (shuffle width binds at EXECUTION time, so a save/restore around the
 # query-builder call would undo the clamp before the driver collects —
 # instead every call sets the width explicitly: clamp for fixtures,
-# captured default otherwise).
-_SESSION_PARTS: dict[int, str] = {}
+# captured default otherwise). Keyed by applicationId, which is unique
+# per SparkContext lifetime — id(spark) could be reused by a new session
+# after the old one is garbage-collected and would then inherit a stale
+# captured default.
+_SESSION_PARTS: dict[str, str] = {}
 
 
 def _fixture_tuned(fn):
@@ -657,7 +660,8 @@ def _fixture_tuned(fn):
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf: str) -> DataFrame:
         default = _SESSION_PARTS.setdefault(
-            id(spark), spark.conf.get("spark.sql.shuffle.partitions"))
+            spark.sparkContext.applicationId,
+            spark.conf.get("spark.sql.shuffle.partitions"))
         spark.conf.set("spark.sql.shuffle.partitions",
                        FIXTURE_PARTS if "sf0.0" in sf else default)
         return fn(spark, sf)
@@ -671,21 +675,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle changed this round) + (least-recently driver-evidenced
     # block), then the next-oldest block, newest-evidenced last. Each
     # round the oldest block rotates to the front; nothing is parked
-    # permanently. Evidence age as of r05:
-    #   block A: changed in r05 (re-evidence required)
-    #   block B: last driver-evidenced r03 (oldest — front this round)
-    #   block C: last driver-evidenced r04 (spine)
-    #   block D: last driver-evidenced r04 (round-4 additions)
+    # permanently. Evidence age as of r06:
+    #   block A: new/changed in r06 (re-evidence required)
+    #   block B: last driver-evidenced r04 (oldest — front this round:
+    #            the block-C tail + block D of the r05 layout)
+    #   block C: driver-evidenced r05 (newest — tail)
     q = {
-        # -- block A: new in round 5 + semantics/oracle touched in round 5
-        "kg_shacl_rules": _q_shacl_rules,
-        "kg_rescal_scores": _q_rescal_scores,
-        "kg_proje_scores": _q_proje_scores,
-        "kg_hole_trained_scores": _q_hole_trained_scores,
+        # -- block A: new in round 6 + semantics/oracle touched in round 6
+        # (ann_ivf_topk gained a Lloyd refinement pass; kg_path_relevance
+        # candidate enumeration tightened to relations present in aug)
+        "ann_ivf_topk": _q_ann_ivf,
         "kg_path_relevance": _q_path_relevance,
-        "kg_transe_scores": _q_transe_scores,
-        "stream_dedup_docs": _q_stream_dedup,
-        # -- block B: last driver-evidenced in r03 (rotated to front)
+        # -- block B: last driver-evidenced in r04 (rotated to front)
+        "kg_eval_metrics": _q_metrics,
+        "kg_corrections": _q_corrections,
+        "kg_corrections_pb": _q_corrections_pb,
+        "kg_type_corrections": _q_type_corrections,
+        "kg_corrected_triples": _q_corrected_triples,
+        "kg_types_closure": _q_types_closure,
+        "kg_link_prediction_eval": _q_linkpred,
+        "kg_triples_filtered": _q_triples_filtered,
+        "kg_paths_depth2_beam": _q_paths_depth2_beam,
+        "kg_iforest_outlier": _q_iforest,
+        "text_token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "text_langid": _q_langid,
+        "text_fingerprints": _q_fingerprints,
+        "mm_media_meta": _q_media_meta,
+        "mm_media_features": _q_media_features,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_emb_neardup,
+        "emb_ccorr_topk": _q_ccorr,
+        "kg_hole_scores": _q_hole_scores,
+        "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
+        "kg_stream_triples_raw": _q_stream_triples,
+        "kg_paths_depth2_pruned": _q_paths_pruned,
+        "kg_types_merged": _q_types_merged,
+        "kg_rich_triples_raw": _q_rich_triples,
+        "kg_type_corrections_learned": _q_type_corrections_learned,
+        "kg_corrections_excl": _q_corrections_excl,
+        "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
+        "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
+        "kg_corrections_ref_gate": _q_corrections_ref_gate,
+        # -- block C: driver-evidenced r05 (newest evidence — tail;
+        # rotates forward as its age becomes oldest)
+        "kg_triples_raw": _q_triples,
+        "kg_canonical_map": _q_canonical_map,
+        "kg_triples_canonical": _q_triples_canonical,
+        "kg_entities_dim": _q_entities,
+        "kg_relations_dim": _q_relations,
+        "kg_triples_encoded": _q_encoded,
+        "kg_sdvalidate_scores": _q_sdvalidate,
+        "kg_domran_scores": _q_domran,
+        "kg_errors_kind1": _q_errors_k1,
+        "kg_paths_depth2": _q_paths_depth2,
+        "kg_patybred_negatives": _q_patybred_negatives,
+        "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
+        "kg_patybred_features": _q_patybred_features,
+        "kg_patybred_ranked": _q_patybred_ranked,
+        "kg_patybred_metrics": _q_patybred_metrics,
+        "kg_flagship_ranked": _q_flagship,
         "kg_types": _q_types,
         "kg_errors_kind2": _q_errors_k2,
         "kg_rpf": _q_rpf,
@@ -713,56 +762,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_brute,
-        # -- block C: stable pipeline spine (last evidenced r04)
-        "kg_triples_raw": _q_triples,
-        "kg_canonical_map": _q_canonical_map,
-        "kg_triples_canonical": _q_triples_canonical,
-        "kg_entities_dim": _q_entities,
-        "kg_relations_dim": _q_relations,
-        "kg_triples_encoded": _q_encoded,
-        "kg_sdvalidate_scores": _q_sdvalidate,
-        "kg_domran_scores": _q_domran,
-        "kg_errors_kind1": _q_errors_k1,
-        "kg_paths_depth2": _q_paths_depth2,
-        "kg_patybred_negatives": _q_patybred_negatives,
-        "kg_patybred_negatives_pra": _q_patybred_negatives_pra,
-        "kg_patybred_features": _q_patybred_features,
-        "kg_patybred_ranked": _q_patybred_ranked,
-        "kg_patybred_metrics": _q_patybred_metrics,
-        "kg_flagship_ranked": _q_flagship,
-        "kg_eval_metrics": _q_metrics,
-        "kg_corrections": _q_corrections,
-        "kg_corrections_pb": _q_corrections_pb,
-        "kg_type_corrections": _q_type_corrections,
-        "kg_corrected_triples": _q_corrected_triples,
-        "kg_types_closure": _q_types_closure,
-        "kg_link_prediction_eval": _q_linkpred,
-        # -- block D: round-4 additions (last evidenced r04; rotate to
-        # the front in r06 if not reached this pass)
-        "kg_triples_filtered": _q_triples_filtered,
-        "kg_paths_depth2_beam": _q_paths_depth2_beam,
-        "kg_iforest_outlier": _q_iforest,
-        "text_token_stats": _q_token_stats,
-        "text_quality": _q_quality,
-        "text_langid": _q_langid,
-        "text_fingerprints": _q_fingerprints,
-        "mm_media_meta": _q_media_meta,
-        "mm_media_features": _q_media_features,
-        "ann_lsh_topk": _q_ann_lsh,
-        "embedding_near_dup": _q_emb_neardup,
-        "ann_ivf_topk": _q_ann_ivf,
-        "emb_ccorr_topk": _q_ccorr,
-        "kg_hole_scores": _q_hole_scores,
-        "kg_patybred_negatives_nbh": _q_patybred_negatives_nbh,
-        "kg_stream_triples_raw": _q_stream_triples,
-        "kg_paths_depth2_pruned": _q_paths_pruned,
-        "kg_types_merged": _q_types_merged,
-        "kg_rich_triples_raw": _q_rich_triples,
-        "kg_type_corrections_learned": _q_type_corrections_learned,
-        "kg_corrections_excl": _q_corrections_excl,
-        "kg_patybred_ranked_fs": _q_patybred_ranked_fs,
-        "kg_rich_patybred_ranked": _q_rich_patybred_ranked,
-        "kg_corrections_ref_gate": _q_corrections_ref_gate,
+        "kg_shacl_rules": _q_shacl_rules,
+        "kg_rescal_scores": _q_rescal_scores,
+        "kg_proje_scores": _q_proje_scores,
+        "kg_hole_trained_scores": _q_hole_trained_scores,
+        "kg_transe_scores": _q_transe_scores,
+        "stream_dedup_docs": _q_stream_dedup,
     }
     return {k: _fixture_tuned(v) for k, v in q.items()}
 

@@ -134,8 +134,8 @@ def run_scaling(master: str, sf_dir: str, replicate: int,
     med = secs[len(secs) // 2] if len(secs) % 2 else \
         (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2
     return {
-        "e2e_sec_runs": [round(s, 3) for s in secs],
-        "e2e_sec": round(med, 3),
+        "e2e_warm_sec_runs": [round(s, 3) for s in secs],
+        "e2e_warm_med_sec": round(med, 3),
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "n_triples": n_triples,
         "triples_per_sec": round(n_triples / med, 1),
@@ -155,7 +155,7 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
 
     # BOTH protocols in one run, under distinct fields: the FIRST pass
     # is the cold single-shot number (the r1–r3 cross-round metric,
-    # kept as e2e_sec/e2e_cold_sec) and doubles as the warm-up; the
+    # kept as e2e_cold_sec) and doubles as the warm-up; the
     # second pass is the warm number (e2e_warm_sec, JIT + codegen + OS
     # page cache — the --scaling protocol's treatment). Cross-round
     # comparisons must pair cold-to-cold or warm-to-warm.
@@ -227,7 +227,10 @@ def run_once(master: str, sf_dir: str, replicate: int = 0,
     spark.stop()
     return {
         "total_sec": round(total, 3),
-        "e2e_sec": round(e2e_cold_sec, 3),  # cold single-shot (r1–r3 metric)
+        # The ambiguous `e2e_sec` alias is gone (r4 recorded warm under
+        # it, r5 cold): only protocol-explicit fields are emitted now.
+        # Cross-round cold comparisons use e2e_cold_sec (== the r1-r3
+        # and r5 `e2e_sec` protocol).
         "e2e_cold_sec": round(e2e_cold_sec, 3),
         "e2e_warm_sec": round(e2e_warm_sec, 3),
         "queries": {k: round(v, 3) for k, v in timings.items()},
@@ -313,7 +316,7 @@ def main() -> None:
         }
         out = {
             "metric": "kg pipeline e2e scaling (extract→link→encode→corrupt→score→rank)",
-            "value": hi["e2e_sec"],
+            "value": hi["e2e_warm_med_sec"],
             "unit": "sec",
             "queries": hi["queries"],
             "sf": sf,
@@ -324,10 +327,10 @@ def main() -> None:
             "scaling": {
                 f"local[{lo_n}]_triples_per_sec": lo["triples_per_sec"],
                 f"local[{hi_n}]_triples_per_sec": hi["triples_per_sec"],
-                f"local[{lo_n}]_sec_runs": lo["e2e_sec_runs"],
-                f"local[{hi_n}]_sec_runs": hi["e2e_sec_runs"],
-                f"local[{lo_n}]_sec": lo["e2e_sec"],
-                f"local[{hi_n}]_sec": hi["e2e_sec"],
+                f"local[{lo_n}]_sec_runs": lo["e2e_warm_sec_runs"],
+                f"local[{hi_n}]_sec_runs": hi["e2e_warm_sec_runs"],
+                f"local[{lo_n}]_sec": lo["e2e_warm_med_sec"],
+                f"local[{hi_n}]_sec": hi["e2e_warm_med_sec"],
                 "efficiency": round(eff, 3),
                 "stage_speedup": stage_speedup,
             },
@@ -341,7 +344,6 @@ def main() -> None:
             "queries": r["queries"],
             "queries_cold": r["queries_cold"],
             "sf": sf,
-            "e2e_sec": r["e2e_sec"],
             "e2e_cold_sec": r["e2e_cold_sec"],
             "e2e_warm_sec": r["e2e_warm_sec"],
             "n_triples": r["n_triples"],

@@ -220,15 +220,19 @@ def relevance_table(triples: DataFrame, R: int,
     spark = triples.sparkSession
     aug = materialize(augmented(triples, R).distinct())
     syms = symmetric_relations(triples)
-    relevant = [p for p in range(1, 2 * R + 1)
-                if not (p > R and (p - R) in syms)]
     sup1 = {r["p"]: r["cnt"] for r in
             aug.groupBy("p").agg(F.count("*").alias("cnt")).collect()}
-    # relevance lookup spans EVERY relevant relation, not just min-sup
-    # singles: the reference populates path_rowscols/path_matrices for
-    # all singletons unconditionally (patybred.py:206-219), so a
-    # composition seed (min-sup) × sub-min-sup r2 is still a candidate
-    # with a computable relevance. Only the SEEDS are min-sup-gated.
+    # relevance lookup spans EVERY relevant relation PRESENT in aug, not
+    # just min-sup singles: the reference populates path_rowscols /
+    # path_matrices for all singletons it loads (patybred.py:206-219),
+    # so a composition seed (min-sup) × sub-min-sup r2 is still a
+    # candidate with a computable relevance. Only the SEEDS are
+    # min-sup-gated. Relation ids with ZERO triples are excluded — the
+    # reference has no matrix for them and the oracle's rels2 enumerates
+    # DISTINCT p FROM aug, so both sides agree even when some id < R is
+    # unused in the corpus.
+    relevant = [p for p in range(1, 2 * R + 1)
+                if p in sup1 and not (p > R and (p - R) in syms)]
     paths = {(p,): aug.where(F.col("p") == p).select("s", "o")
              for p in relevant}
     supports = {(p,): sup1.get(p, 0) for p in relevant}

@@ -229,19 +229,35 @@ def run_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
         else:
             # With ProcessingTimeTimeout registered, the runner keeps
             # scheduling (empty) micro-batches to evaluate expiry, so
-            # availableNow never self-terminates: drain until a batch
-            # consumes no input (backlog done), then stop explicitly.
+            # availableNow never self-terminates — but a timeout-eval
+            # batch (0 input rows) can ALSO interleave before the file
+            # backlog is drained, so "first zero-row batch" is not a
+            # safe stop. Drain until the rows ingested across distinct
+            # batchIds reach the source listing's row count (the
+            # availableNow snapshot) AND the latest batch consumed no
+            # input; a 3-consecutive-zero-batch guard backstops the
+            # equality in case a file lands between the pre-count and
+            # the snapshot.
             import time
 
-            def _rows(p):
-                return p["numInputRows"] if isinstance(p, dict) \
-                    else p.numInputRows
+            def _get(p, k):
+                return p[k] if isinstance(p, dict) else getattr(p, k)
 
+            expected = spark.read.parquet(src_dir).count()
+            ingested, seen_batches, zero_streak = 0, set(), 0
             while q.isActive:
                 lp = q.lastProgress
-                if lp is not None and _rows(lp) == 0:
-                    q.stop()
-                    break
+                if lp is not None:
+                    bid = _get(lp, "batchId")
+                    rows = _get(lp, "numInputRows")
+                    if bid not in seen_batches:
+                        seen_batches.add(bid)
+                        ingested += rows
+                        zero_streak = zero_streak + 1 if rows == 0 else 0
+                    if (ingested >= expected and rows == 0) \
+                            or zero_streak >= 3:
+                        q.stop()
+                        break
                 time.sleep(0.5)
             q.awaitTermination()
     finally:

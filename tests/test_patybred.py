@@ -501,6 +501,28 @@ def test_relevance_covers_sub_min_sup_relations(spark):
     assert idx.R == 2
 
 
+def test_relevance_skips_unused_relation_ids(spark):
+    """A relation id < R with ZERO triples is not a composition
+    candidate: the reference never builds a matrix for it and the SQL
+    oracle enumerates DISTINCT p FROM aug, so the Spark side must not
+    emit relevance-0 rows for it either (ADVICE r05: the two sides
+    used to disagree whenever an id in 1..R was unused)."""
+    # R declared = 3, but relation 3 never occurs
+    t = spark.createDataFrame(
+        [(1, 1, 2), (3, 1, 4), (5, 1, 6), (7, 1, 8), (9, 1, 10),
+         (11, 1, 2), (2, 2, 20), (4, 2, 21)],
+        "s long, p int, o long")
+    rt = patybred.relevance_table(t, 3)
+    used = {r["p1"] for r in rt.collect()} | \
+           {r["p2"] for r in rt.collect()}
+    # ids 3 and its inverse 6 (R+3) must appear nowhere
+    assert 3 not in used and 6 not in used
+    # the present-relation candidates are unchanged by the wider R
+    rows = {(r["p1"], r["p2"], r["mode"]): r["relevance"]
+            for r in rt.collect()}
+    assert rows[(1, 2, "inter")] == 2.0
+
+
 def test_lang_equivalence_merge(spark, graph):
     """U1: all lang:* memberships collapse onto the min-id lang type;
     non-lang memberships are untouched."""
