@@ -286,6 +286,28 @@ def _apply_grads(E: DataFrame, R: DataFrame, t: DataFrame, d: int,
 # past oracle scale anyway.
 TE_DETERMINISTIC_MAX = 1_000_000
 
+# The sorted fold's real cost is the largest per-key collect_list — the
+# MAX entity degree, not the entity count: a sub-1M-entity KG with one
+# 10⁶-degree hub would still blow an executor. The auto-switch therefore
+# also bounds degree; above this the partial-sum mode is forced.
+TE_DETERMINISTIC_MAX_DEGREE = 50_000
+
+
+def _auto_deterministic(triples: DataFrame, n_entities: int) -> bool:
+    """Pick the gradient path when the caller didn't: the
+    bit-reproducible sorted fold only when BOTH the entity count and the
+    max in/out-degree (one aggregate over ``triples``) are bounded —
+    otherwise the hub-safe partial-sum mode."""
+    if n_entities > TE_DETERMINISTIC_MAX:
+        return False
+    deg = (
+        triples.select(F.col("s").alias("e"))
+        .unionAll(triples.select(F.col("o").alias("e")))
+        .groupBy("e").count()
+        .agg(F.max("count").alias("m")).first()["m"]
+    )
+    return (deg or 0) <= TE_DETERMINISTIC_MAX_DEGREE
+
 
 def fit_transe(triples: DataFrame, n_entities: int, d: int = TE_DIM,
                epochs: int = TE_EPOCHS, lr: float = TE_LR,
@@ -296,14 +318,16 @@ def fit_transe(triples: DataFrame, n_entities: int, d: int = TE_DIM,
     checkpointed (the iterative-algorithm lineage-truncation pattern).
 
     ``deterministic=None`` auto-selects the gradient path: the
-    bit-reproducible sorted fold (oracle parity) up to
-    ``TE_DETERMINISTIC_MAX`` entities, the hub-safe partial-sum
-    aggregation beyond (see :func:`transe_epoch`); pass an explicit
-    bool to force either."""
+    bit-reproducible sorted fold (oracle parity) only when both the
+    entity count (``TE_DETERMINISTIC_MAX``) and the max in/out-degree
+    (``TE_DETERMINISTIC_MAX_DEGREE`` — the fold's actual per-key
+    memory bound) are small; the hub-safe partial-sum aggregation
+    otherwise (see :func:`transe_epoch`); pass an explicit bool to
+    force either."""
     from kgspark.util import materialize
 
     if deterministic is None:
-        deterministic = n_entities <= TE_DETERMINISTIC_MAX
+        deterministic = _auto_deterministic(triples, n_entities)
     E, R = transe_init(triples, d)
     E, R = materialize(E), materialize(R)
     for ep in range(epochs):
@@ -544,11 +568,12 @@ def fit_hole(triples: DataFrame, n_entities: int, d: int = TE_DIM,
              ) -> tuple[DataFrame, DataFrame]:
     """Distributed HolE fit → (E(e, vec), R(p, vec)); per-epoch
     checkpointing and the deterministic/scale gradient-mode auto-switch
-    exactly as :func:`fit_transe`."""
+    (entity-count AND max-degree bounded) exactly as
+    :func:`fit_transe`."""
     from kgspark.util import materialize
 
     if deterministic is None:
-        deterministic = n_entities <= TE_DETERMINISTIC_MAX
+        deterministic = _auto_deterministic(triples, n_entities)
     E, R = hole_init(triples, d)
     E, R = materialize(E), materialize(R)
     for ep in range(epochs):

@@ -503,6 +503,27 @@ def test_transe_scale_mode_learns_and_tracks_deterministic(spark):
     assert loss(es, rs) < loss(E0, R0)
 
 
+def test_trainer_auto_switch_keys_on_degree_not_entity_count(spark):
+    """The gradient-mode auto-switch bounds the sorted fold's REAL
+    per-key cost — the max in/out-degree — not just the entity count:
+    a sub-1M-entity graph with one hub past TE_DETERMINISTIC_MAX_DEGREE
+    must select scale mode, while the bounded fixture graphs keep the
+    deterministic fold (oracles unchanged)."""
+    from kgspark import embeddings
+
+    hub_deg = embeddings.TE_DETERMINISTIC_MAX_DEGREE + 1
+    hub = spark.range(hub_deg).selectExpr(
+        "id + 2 AS s", "CAST(1 AS INT) AS p", "CAST(1 AS LONG) AS o")
+    assert embeddings._auto_deterministic(hub, n_entities=hub_deg + 1) \
+        is False
+    small = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 3)], "s long, p int, o long")
+    assert embeddings._auto_deterministic(small, n_entities=3) is True
+    # entity-count bound still applies independently of degree
+    assert embeddings._auto_deterministic(
+        small, n_entities=embeddings.TE_DETERMINISTIC_MAX + 1) is False
+
+
 def test_hole_distributed_fit_matches_numpy_bit_exact(spark):
     """M9 HolE training: the distributed fit (ccorr/cconv gradients,
     sorted folds) equals the Spark-free numpy replica bit-exactly, and
