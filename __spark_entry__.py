@@ -579,6 +579,17 @@ def _q_hole_trained_scores(spark: SparkSession, sf: str) -> DataFrame:
     return embeddings.hole_trained_scores(g.triples, E, R)
 
 
+def _q_rescal_trained_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """M9 RESCAL TRAINING: distributed DataFrame-SGD margin-ranking fit
+    of the bilinear model (closed-form outer-product gradients — no
+    TF/skge needed; shared _apply_grads machinery with the relation
+    side d² wide) then eₛᵀ·W_p·e_o scoring with the trained tables;
+    the oracle re-trains the bit-identical numpy replica."""
+    g = pipeline.build_graph(spark, sf)
+    E, W = embeddings.fit_rescal(g.triples, g.n_entities)
+    return embeddings.rescal_trained_scores(g.triples, E, W)
+
+
 def _q_token_stats(spark, sf):
     return textstats.token_stats(_docs(spark, sf))
 
@@ -684,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block A: new in round 6 + semantics/oracle touched in round 6
         # (ann_ivf_topk gained a Lloyd refinement pass; kg_path_relevance
         # candidate enumeration tightened to relations present in aug)
+        "kg_rescal_trained_scores": _q_rescal_trained_scores,
         "ann_ivf_topk": _q_ann_ivf,
         "kg_path_relevance": _q_path_relevance,
         # -- block B: last driver-evidenced in r04 (rotated to front)
@@ -890,6 +902,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_proje_scores": embeddings.proje_scores_sql(raw),
         "kg_hole_trained_scores": embeddings.hole_trained_scores_oracle_sql(
             raw),
+        "kg_rescal_trained_scores":
+            embeddings.rescal_trained_scores_oracle_sql(raw),
         "kg_transe_scores": embeddings.transe_scores_oracle_sql(raw),
         "embedding_near_dup": simsearch.embedding_near_dup_sql(0.35),
         "text_token_stats": textstats.token_stats_sql(),

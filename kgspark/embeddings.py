@@ -212,12 +212,17 @@ def transe_epoch(triples: DataFrame, E: DataFrame, R: DataFrame,
 
 
 def _apply_grads(E: DataFrame, R: DataFrame, t: DataFrame, d: int,
-                 lr: float, deterministic: bool
+                 lr: float, deterministic: bool, d_r: int | None = None
                  ) -> tuple[DataFrame, DataFrame]:
     """Shared SGD-update machinery: fold the per-triple gradient table
     ``t`` (s, _tp, o, o_neg, g_s, g_o, g_n, g_r) per entity/relation and
     apply ``x ← x − lr·Σg`` — the deterministic sorted fold or the
-    hub-safe partial-sum aggregate (see :func:`transe_epoch`)."""
+    hub-safe partial-sum aggregate (see :func:`transe_epoch`).
+
+    ``d_r`` is the relation-parameter width when it differs from the
+    entity width ``d`` (RESCAL folds a row-major-flattened d×d matrix,
+    so d_r = d²)."""
+    d_r = d if d_r is None else d_r
     # role index (0=subject, 1=object, 2=corrupt object) disambiguates
     # multiple same-triple contributions to one entity (s == o self-loops)
     contrib = t.select(
@@ -234,9 +239,8 @@ def _apply_grads(E: DataFrame, R: DataFrame, t: DataFrame, d: int,
              F.col("c.g").alias("g"), "_k")
 
     if deterministic:
-        zero = F.array(*[F.lit(0.0) for _ in range(d)])
-
-        def folded(grp: DataFrame, key: str) -> DataFrame:
+        def folded(grp: DataFrame, key: str, width: int) -> DataFrame:
+            zero = F.array(*[F.lit(0.0) for _ in range(width)])
             lst = F.array_sort(F.collect_list(F.struct(
                 F.col("_k").alias("k"), F.col("_i").alias("i"),
                 F.col("g").alias("g"))))
@@ -245,25 +249,27 @@ def _apply_grads(E: DataFrame, R: DataFrame, t: DataFrame, d: int,
                 lambda a, s: F.zip_with(a, s["g"], lambda x, y: x + y))
             return grp.groupBy(key).agg(acc.alias("grad"))
 
-        ge = folded(contrib, "e")
+        ge = folded(contrib, "e", d)
         gr = folded(
             t.select(F.col("_tp").alias("p"), F.lit(0).alias("_i"),
                      F.col("g_r").alias("g"),
-                     F.concat_ws("|", "s", "_tp", "o").alias("_k")), "p")
+                     F.concat_ws("|", "s", "_tp", "o").alias("_k")),
+            "p", d_r)
     else:
         # scale mode: per-slot partial sums — a plain hash aggregate
         # with map-side combine; no collect_list, no per-entity array
-        def summed(grp: DataFrame, key: str) -> DataFrame:
+        def summed(grp: DataFrame, key: str, width: int) -> DataFrame:
             agg = grp.groupBy(key).agg(
-                *[F.sum(F.col("g")[i]).alias(f"_g{i}") for i in range(d)])
+                *[F.sum(F.col("g")[i]).alias(f"_g{i}")
+                  for i in range(width)])
             return agg.select(
-                key, F.array(*[F.col(f"_g{i}") for i in range(d)])
+                key, F.array(*[F.col(f"_g{i}") for i in range(width)])
                 .alias("grad"))
 
-        ge = summed(contrib, "e")
+        ge = summed(contrib, "e", d)
         gr = summed(
             t.select(F.col("_tp").alias("p"), F.col("g_r").alias("g")),
-            "p")
+            "p", d_r)
 
     # gradient tables derive FROM E/R, so rename their keys before the
     # self-join (attribute-lineage disambiguation)
@@ -600,6 +606,296 @@ def hole_trained_scores(triples: DataFrame, E: DataFrame, R: DataFrame,
     return t.select("s", "p", "o", F.round(sc, 6).alias("score"))
 
 
+# ------------------------------------------------------ RESCAL training (M9)
+
+RS_LR = 0.1
+RS_MARGIN = 1.0
+RS_EPOCHS = 2
+
+
+def rescal_init(triples: DataFrame, d: int = TE_DIM
+                ) -> tuple[DataFrame, DataFrame]:
+    """Deterministic initial RESCAL parameter tables: entity vectors
+    (d) and ROW-MAJOR-FLATTENED relation matrices W_p (d² floats) from
+    the hash substrate, salts distinct from every other trainer."""
+    ents = (triples.select(F.col("s").alias("e"))
+            .unionByName(triples.select(F.col("o").alias("e"))).distinct())
+    rels = triples.select(F.col("p")).distinct()
+    E = ents.select("e", hash_embedding(F.col("e"), "rse", d).alias("vec"))
+    W = rels.select("p", hash_embedding(F.col("p"), "rsw", d * d)
+                    .alias("vec"))
+    return E, W
+
+
+def _rescal_grad_kernel(d: int, margin: float, deterministic: bool):
+    """Arrow-batched RESCAL gradient kernel for ``mapInPandas`` — the
+    third trainable family, no TF/skge needed: with score
+    f = eₛᵀ·W_p·e_o and the pairwise hinge
+    max(0, margin − f(s,p,o) + f(s,p,o')), the active-row gradients are
+
+    * ∂/∂eₛ  = W_p·e_o' − W_p·e_o
+    * ∂/∂e_o = −W_pᵀ·eₛ,  ∂/∂e_o' = +W_pᵀ·eₛ
+    * ∂/∂W_p = eₛ⊗e_o' − eₛ⊗e_o  (outer products, flattened row-major)
+
+    Same two modes as :func:`_hole_grad_kernel`: sequential python-float
+    folds bit-exact vs :func:`numpy_rescal` (oracle mode), ``np.einsum``
+    batched mat-vecs/outers in scale mode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def mv(w, v):  # W·v, sequential row folds
+        out = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += w[i * d + j] * v[j]
+            out.append(acc)
+        return out
+
+    def mtv(w, v):  # Wᵀ·v
+        out = []
+        for j in range(d):
+            acc = 0.0
+            for i in range(d):
+                acc += w[i * d + j] * v[i]
+            out.append(acc)
+        return out
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cols = {"s": [], "_tp": [], "o": [], "o_neg": [],
+                    "g_s": [], "g_o": [], "g_n": [], "g_r": []}
+            if deterministic:
+                for s_, tp_, o_, on_, es_, eo_, en_, w_ in zip(
+                        pdf["s"], pdf["_tp"], pdf["o"], pdf["o_neg"],
+                        pdf["es"], pdf["eo"], pdf["en"], pdf["rp"]):
+                    if en_ is None:
+                        continue
+                    es = [float(x) for x in es_]
+                    eo = [float(x) for x in eo_]
+                    en = [float(x) for x in en_]
+                    w = [float(x) for x in w_]
+                    wvp, wvn = mv(w, eo), mv(w, en)
+                    if margin + sdot(es, wvn) - sdot(es, wvp) <= 0:
+                        continue
+                    wt = mtv(w, es)
+                    cols["s"].append(s_)
+                    cols["_tp"].append(tp_)
+                    cols["o"].append(o_)
+                    cols["o_neg"].append(on_)
+                    cols["g_s"].append(
+                        [a - b for a, b in zip(wvn, wvp)])
+                    cols["g_o"].append([-x for x in wt])
+                    cols["g_n"].append(wt)
+                    cols["g_r"].append(
+                        [es[i] * (en[j] - eo[j])
+                         for i in range(d) for j in range(d)])
+            else:
+                ok = pdf["en"].notna().to_numpy()
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                es = np.stack(pdf["es"].to_numpy())
+                eo = np.stack(pdf["eo"].to_numpy())
+                en = np.stack(pdf["en"].to_numpy())
+                W3 = np.stack(pdf["rp"].to_numpy()).reshape(-1, d, d)
+                wvp = np.einsum("nij,nj->ni", W3, eo)
+                wvn = np.einsum("nij,nj->ni", W3, en)
+                act = (margin + np.einsum("ni,ni->n", es, wvn)
+                       - np.einsum("ni,ni->n", es, wvp)) > 0
+                if not act.any():
+                    continue
+                sel = pdf[act]
+                wt = np.einsum("nij,ni->nj", W3, es)[act]
+                g_r = np.einsum("ni,nj->nij", es,
+                                en - eo)[act].reshape(-1, d * d)
+                cols["s"] = sel["s"].tolist()
+                cols["_tp"] = sel["_tp"].tolist()
+                cols["o"] = sel["o"].tolist()
+                cols["o_neg"] = sel["o_neg"].tolist()
+                cols["g_s"] = list((wvn - wvp)[act])
+                cols["g_o"] = list(-wt)
+                cols["g_n"] = list(wt)
+                cols["g_r"] = list(g_r)
+            if cols["s"]:
+                yield pd.DataFrame(cols)
+
+    return batches
+
+
+def rescal_epoch(triples: DataFrame, E: DataFrame, W: DataFrame,
+                 n_entities: int, epoch: int, d: int = TE_DIM,
+                 lr: float = RS_LR, margin: float = RS_MARGIN,
+                 deterministic: bool = True
+                 ) -> tuple[DataFrame, DataFrame]:
+    """One distributed SGD epoch of RESCAL margin-ranking training —
+    the Spark-first shape of :func:`transe_epoch`/:func:`hole_epoch`
+    (same joins, same content-keyed corrupt-object negatives, shared
+    :func:`_apply_grads` with the relation side d² wide). The reference
+    drives skge's RESCAL the same way it drives HolE
+    (embeddings.py:24-60); the trainer here needs no TF/skge — the
+    bilinear gradients are closed-form outer products."""
+    from kgspark.hashing import pick_mod
+    from kgspark.util import materialize
+
+    E = materialize(_l2norm_rows(E))
+    t = triples.select("s", F.col("p").alias("_tp"), "o").withColumn(
+        "o_neg",
+        pick_mod([F.col("s"), F.col("_tp"), F.col("o"), F.lit(epoch)],
+                 n_entities, "rsneg") + 1)
+    t = (
+        t.join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(E.select(F.col("e").alias("o_neg"),
+                       F.col("vec").alias("en")), "o_neg", "left")
+        .join(F.broadcast(W.withColumnRenamed("vec", "rp")),
+              F.col("_tp") == F.col("p"))
+        .drop("p")
+    )
+    out_schema = ("s long, _tp int, o long, o_neg long, "
+                  "g_s array<double>, g_o array<double>, "
+                  "g_n array<double>, g_r array<double>")
+    t = materialize(
+        t.select("s", "_tp", "o", "o_neg", "es", "eo", "en", "rp")
+        .mapInPandas(_rescal_grad_kernel(d, margin, deterministic),
+                     out_schema))
+    return _apply_grads(E, W, t, d, lr, deterministic, d_r=d * d)
+
+
+def fit_rescal(triples: DataFrame, n_entities: int, d: int = TE_DIM,
+               epochs: int = RS_EPOCHS, lr: float = RS_LR,
+               margin: float = RS_MARGIN,
+               deterministic: bool | None = None
+               ) -> tuple[DataFrame, DataFrame]:
+    """Distributed RESCAL fit → (E(e, vec), W(p, vec·d²)); per-epoch
+    checkpointing and the deterministic/scale gradient-mode auto-switch
+    (entity-count AND max-degree bounded) exactly as
+    :func:`fit_transe`."""
+    from kgspark.util import materialize
+
+    if deterministic is None:
+        deterministic = _auto_deterministic(triples, n_entities)
+    E, W = rescal_init(triples, d)
+    E, W = materialize(E), materialize(W)
+    for ep in range(epochs):
+        E, W = rescal_epoch(triples, E, W, n_entities, ep, d, lr, margin,
+                            deterministic)
+        E, W = materialize(E), materialize(W)
+    return E, W
+
+
+def rescal_trained_scores(triples: DataFrame, E: DataFrame, W: DataFrame,
+                          d: int = TE_DIM) -> DataFrame:
+    """→ (s, p, o, score): eₛᵀ·W_p·e_o over TRAINED tables — the RESCAL
+    scoring surface with fitted parameters joined in (entity vectors as
+    two hash joins, the R×d² relation-matrix table broadcast). The
+    contraction is the unrolled left-associated chain (≡ the sequential
+    fold, whole-stage-codegen-able — see :func:`_chain_dot`)."""
+    t = (
+        triples
+        .join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(F.broadcast(W.select("p", F.col("vec").alias("wp"))), "p")
+    )
+    wv = F.array(*[
+        _flat_row_dot(F.col("wp"), F.col("eo"), i, d) for i in range(d)])
+    t = t.select("s", "p", "o", "es", wv.alias("_wv"))
+    sc = _chain_dot(F.col("es"), F.col("_wv"), list(range(d)))
+    return t.select("s", "p", "o", F.round(sc, 6).alias("score"))
+
+
+def _flat_row_dot(w: Column, v: Column, i: int, d: int) -> Column:
+    """Row ``i`` of the flattened d×d matrix ``w`` dotted with ``v`` as
+    a left-associated chain — value-identical to the sequential fold."""
+    expr = w[i * d] * v[0]
+    for j in range(1, d):
+        expr = expr + w[i * d + j] * v[j]
+    return expr
+
+
+def numpy_rescal(rows: list[tuple[int, int, int]], n_entities: int,
+                 d: int = TE_DIM, epochs: int = RS_EPOCHS,
+                 lr: float = RS_LR, margin: float = RS_MARGIN):
+    """Spark-free replica of :func:`fit_rescal` with IDENTICAL float-op
+    ORDER (sequential mat-vec folds, sorted gradient accumulation) —
+    pytest parity reference and driver-oracle builder. Returns
+    ({e: vec_d}, {p: flat_vec_d2})."""
+    from kgspark.simsearch import _py_phash32
+
+    def vec(salt: str, ident, width: int) -> list[float]:
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(width)]
+
+    def sdot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def mv(w, v):
+        out = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += w[i * d + j] * v[j]
+            out.append(acc)
+        return out
+
+    def mtv(w, v):
+        out = []
+        for j in range(d):
+            acc = 0.0
+            for i in range(d):
+                acc += w[i * d + j] * v[i]
+            out.append(acc)
+        return out
+
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    E = {e: vec("rse", e, d) for e in ents}
+    W = {p: vec("rsw", p, d * d) for p in sorted({r[1] for r in rows})}
+    for ep in range(epochs):
+        for e, v in E.items():
+            n = sdot(v, v) ** 0.5 or 1.0
+            E[e] = [x / n for x in v]
+        ce: dict[int, list] = {}
+        cw: dict[int, list] = {}
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"rsneg|{s}|{p}|{o}|{ep}") % n_entities) + 1
+            if oneg not in E:
+                continue
+            wvp, wvn = mv(W[p], E[o]), mv(W[p], E[oneg])
+            if margin + sdot(E[s], wvn) - sdot(E[s], wvp) > 0:
+                k = f"{s}|{p}|{o}"
+                wt = mtv(W[p], E[s])
+                ce.setdefault(s, []).append(
+                    (k, 0, [a - b for a, b in zip(wvn, wvp)]))
+                ce.setdefault(o, []).append((k, 1, [-x for x in wt]))
+                ce.setdefault(oneg, []).append((k, 2, wt))
+                cw.setdefault(p, []).append(
+                    (k, 0, [E[s][i] * (E[oneg][j] - E[o][j])
+                            for i in range(d) for j in range(d)]))
+        for e, lst in ce.items():
+            grad = [0.0] * d
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            E[e] = [v - lr * g for v, g in zip(E[e], grad)]
+        for p, lst in cw.items():
+            grad = [0.0] * (d * d)
+            for _, _, g in sorted(lst, key=lambda x: (x[0], x[1])):
+                grad = [a + b for a, b in zip(grad, g)]
+            W[p] = [v - lr * g for v, g in zip(W[p], grad)]
+    return E, W
+
+
 def numpy_transe(rows: list[tuple[int, int, int]], n_entities: int,
                  d: int = TE_DIM, epochs: int = TE_EPOCHS,
                  lr: float = TE_LR, margin: float = TE_MARGIN):
@@ -834,6 +1130,62 @@ hoj AS (
   JOIN hoE eo ON eo.e = enc.o
   JOIN hoR rp ON rp.p = enc.p)
 SELECT s, p, o, round(list_dot_product(rpv, {cc}), 6) AS score FROM hoj
+"""
+
+
+def rescal_trained_scores_oracle_sql(raw_cte: str, d: int = TE_DIM,
+                                     epochs: int = RS_EPOCHS,
+                                     lr: float = RS_LR,
+                                     margin: float = RS_MARGIN) -> str:
+    """Exact oracle for fit_rescal → rescal_trained_scores: the numpy
+    replica trains Spark-free on the same triples (bit-identical
+    sequential mat-vec fold order, see numpy_rescal), final tables
+    embedded as VALUES, and the score is a list_dot_product chain over
+    row slices of the flattened W (≡ the Spark unrolled chains)."""
+    import duckdb
+
+    from kgspark.dialect import materialize_ctes
+    from kgspark.typesys import kg_ctes
+    from kgspark.util import oracle_sf_dir
+
+    sf_dir = oracle_sf_dir()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{sf_dir}/documents.parquet')")
+    base = kg_ctes(raw_cte)
+    rows = con.execute(materialize_ctes(
+        f"WITH {base} SELECT s, p, o FROM enc")).fetchall()
+    n_ents = con.execute(materialize_ctes(
+        f"WITH {base} SELECT count(*) FROM ent")).fetchone()[0]
+    con.close()
+    E, W = numpy_rescal([(r[0], r[1], r[2]) for r in rows], n_ents,
+                        d, epochs, lr, margin)
+
+    def vals(tab) -> str:
+        return ", ".join(
+            f"({k}, [{', '.join(_sql_num(v) for v in vec)}])"
+            for k, vec in sorted(tab.items()))
+
+    # W·e_o row-wise: row i of the flattened matrix is the 1-based
+    # slice [i·d+1, i·d+d]; list_dot_product is the same sequential
+    # fold as the Spark unrolled chain
+    wv = (f"list_transform(generate_series(0, {d - 1}), "
+          f"i -> list_dot_product("
+          f"list_slice(wpv, i * {d} + 1, i * {d} + {d}), eov))")
+    return f"""
+WITH {kg_ctes(raw_cte)},
+rsE(e, vec) AS (VALUES {vals(E)}),
+rsW(p, vec) AS (VALUES {vals(W)}),
+rsj AS (
+  SELECT enc.s, enc.p, enc.o,
+         es.vec AS esv, eo.vec AS eov, wp.vec AS wpv
+  FROM enc
+  JOIN rsE es ON es.e = enc.s
+  JOIN rsE eo ON eo.e = enc.o
+  JOIN rsW wp ON wp.p = enc.p)
+SELECT s, p, o,
+       round(list_dot_product(esv, {wv}), 6) AS score
+FROM rsj
 """
 
 

@@ -613,6 +613,79 @@ def test_hole_training_reduces_margin_loss(spark):
     assert loss(E2, R2) < loss(E0, R0)
 
 
+def test_rescal_distributed_fit_matches_numpy_bit_exact(spark):
+    """M9 RESCAL training: the distributed fit (outer-product bilinear
+    gradients, sorted folds, d²-wide relation side) equals the
+    Spark-free numpy replica bit-exactly, and the trained-score surface
+    matches replica-computed eₛᵀ·W_p·e_o."""
+    from kgspark import embeddings
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1),
+            (2, 2, 4), (1, 2, 5), (3, 1, 3)]
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    E, W = embeddings.fit_rescal(t, n_entities=5)
+    En, Wn = embeddings.numpy_rescal(rows, n_entities=5)
+    es = {r["e"]: r["vec"] for r in E.collect()}
+    ws = {r["p"]: r["vec"] for r in W.collect()}
+    assert sorted(es) == sorted(En) and sorted(ws) == sorted(Wn)
+    for e, v in es.items():
+        assert v == En[e]  # bit-exact
+    for p, v in ws.items():
+        assert v == Wn[p]
+    assert all(len(v) == embeddings.TE_DIM ** 2 for v in ws.values())
+
+    d = embeddings.TE_DIM
+
+    def mv(w, v):
+        return [sum(w[i * d + j] * v[j] for j in range(d))
+                for i in range(d)]
+
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.rescal_trained_scores(t, E, W).collect()}
+    for s, p, o in rows:
+        exp = round(sum(a * b for a, b in zip(En[s], mv(Wn[p], En[o]))), 6)
+        assert abs(got[(s, p, o)] - exp) < 2e-6
+
+
+def test_rescal_scale_mode_tracks_deterministic_and_learns(spark):
+    """The scale-mode RESCAL path (einsum kernel + partial-sum fold)
+    matches the deterministic fit to float-reassociation tolerance, and
+    the SGD reduces the epoch-0 hinge loss from the initial params."""
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 1, 5), (5, 1, 6),
+            (6, 2, 1), (5, 2, 2), (4, 2, 3), (3, 2, 6), (2, 2, 5)]
+    n, d = 6, embeddings.TE_DIM
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    Es, Ws = embeddings.fit_rescal(t, n, deterministic=False)
+    En, Wn = embeddings.numpy_rescal(rows, n)
+    es = {r["e"]: r["vec"] for r in Es.collect()}
+    ws = {r["p"]: r["vec"] for r in Ws.collect()}
+    for e, v in es.items():
+        assert max(abs(a - b) for a, b in zip(v, En[e])) < 1e-9
+    for p, v in ws.items():
+        assert max(abs(a - b) for a, b in zip(v, Wn[p])) < 1e-9
+
+    def mv(w, v):
+        return [sum(w[i * d + j] * v[j] for j in range(d))
+                for i in range(d)]
+
+    def loss(E, W):
+        tot = 0.0
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"rsneg|{s}|{p}|{o}|0") % n) + 1
+            if oneg not in E:
+                continue
+            f = sum(a * b for a, b in zip(E[s], mv(W[p], E[o])))
+            fn = sum(a * b for a, b in zip(E[s], mv(W[p], E[oneg])))
+            tot += max(0.0, embeddings.RS_MARGIN + fn - f)
+        return tot
+
+    E0, W0 = embeddings.numpy_rescal(rows, n, epochs=0)
+    assert loss(En, Wn) < loss(E0, W0)
+
+
 def test_transe_training_reduces_margin_loss(spark):
     """The SGD actually learns: total hinge loss over the epoch-0
     negative set decreases from the initial embeddings to the fitted

@@ -96,6 +96,28 @@ def test_transe_scale_mode_gradient_plan_has_no_collect_list(spark):
     assert "HashAggregate" in p
 
 
+def test_rescal_scale_mode_gradient_plan_has_no_collect_list(spark):
+    """RESCAL's scale-mode gradient fold (d²-wide relation side) must be
+    the same plain partial-sum hash aggregate as TransE's — no
+    collect_list / array_sort rows growing with entity degree."""
+    from kgspark import embeddings
+
+    t = spark.createDataFrame(
+        [(1, 1, 2), (2, 1, 3), (3, 2, 4), (4, 2, 5), (5, 1, 1)],
+        "s long, p int, o long")
+    E, W = embeddings.rescal_init(t)
+    E2d, _ = embeddings.rescal_epoch(t, E, W, n_entities=5, epoch=0,
+                                     deterministic=True)
+    assert "collect_list" in _plan(E2d)  # probe sanity: fold is visible
+    E2s, W2s = embeddings.rescal_epoch(t, E, W, n_entities=5, epoch=0,
+                                       deterministic=False)
+    for df in (E2s, W2s):
+        p = _plan(df)
+        assert "collect_list" not in p
+        assert "array_sort" not in p
+        assert "HashAggregate" in p
+
+
 def test_corrections_plan_no_cartesian_no_single_partition(spark):
     """The correction funnel (blocking self-join + rescore joins +
     bounded per-suspect window) must stay free of cartesian products and
