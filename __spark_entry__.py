@@ -361,6 +361,46 @@ def _q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out).select("sha", "doc_id")
 
 
+def _q_stream_dedup_min(spark: SparkSession, sf: str) -> DataFrame:
+    """Global-min streaming dedup (update mode): the corpus arrives
+    SHIFTED (+1e6 ids) as micro-batch 1, then the original small-id
+    copies of every 25th doc as micro-batch 2 — first-batch-wins would
+    keep the 1e6 representatives, but the running-min state re-emits on
+    improvement, so the compacted log equals the true global
+    min-doc_id-per-content (exact oracle; distinguishes the two modes
+    by construction)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from kgspark import streaming
+
+    tmp = tempfile.mkdtemp(prefix="kgdedupstreammin_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    docs = _docs(spark, sf)
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    originals = docs.where(F.col("doc_id") % 25 == 0)
+
+    def _one_file(df, dest):
+        stage = dest + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+
+    now = time.time()
+    _one_file(shifted, os.path.join(src, "batch1.parquet"))
+    _one_file(originals, os.path.join(src, "batch2.parquet"))
+    os.utime(os.path.join(src, "batch1.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(src, "batch2.parquet"), (now, now))
+    streaming.run_dedup_stream_min(spark, src, out, ck)
+    return (spark.read.parquet(out)
+            .groupBy("sha").agg(F.min("doc_id").alias("doc_id")))
+
+
 def _q_rich_triples(spark: SparkSession, sf: str) -> DataFrame:
     return extract.extract_triples(synth.repo_files_rich(spark, sf))
 
@@ -696,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ann_ivf_topk gained a Lloyd refinement pass; kg_path_relevance
         # candidate enumeration tightened to relations present in aug)
         "kg_rescal_trained_scores": _q_rescal_trained_scores,
+        "stream_dedup_docs_min": _q_stream_dedup_min,
         "ann_ivf_topk": _q_ann_ivf,
         "kg_path_relevance": _q_path_relevance,
         # -- block B: last driver-evidenced in r04 (rotated to front)
@@ -879,6 +920,17 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_docs": (
             "SELECT sha256(text) AS sha, min(doc_id) AS doc_id "
             "FROM documents GROUP BY text"
+        ),
+        # Global-min contract (streaming.stream_dedup_docs_min): the
+        # compacted emission log equals min(doc_id) over ALL arrivals —
+        # the shifted full corpus (+1e6) plus the later small-id
+        # every-25th originals (which first-batch-wins would ignore).
+        "stream_dedup_docs_min": (
+            "SELECT sha256(text) AS sha, min(doc_id) AS doc_id FROM ("
+            "  SELECT text, doc_id + 1000000 AS doc_id FROM documents"
+            "  UNION ALL"
+            "  SELECT text, doc_id FROM documents WHERE doc_id % 25 = 0"
+            ") GROUP BY text"
         ),
         "kg_paths_depth2_beam": patybred.paths_depth2_beam_sql(raw, BEAM_N),
         "kg_triples_filtered": extract.filtered_triples_sql(

@@ -179,6 +179,84 @@ def stream_dedup_docs(docs_stream: DataFrame,
     )
 
 
+def stream_dedup_docs_min(docs_stream: DataFrame) -> DataFrame:
+    """Global-min streaming dedup (update mode): state keeps the RUNNING
+    min doc_id per content sha and re-emits whenever a later micro-batch
+    improves it — the live-streaming form of the batch
+    ``dedup.dedup_exact`` compaction, closing the first-batch-wins
+    caveat of :func:`stream_dedup_docs` for consumers that need
+    global-min semantics without a separate batch pass.
+
+    CONTRACT: the emission log is monotone per sha (each emitted doc_id
+    is strictly smaller than the previous emission for that sha), so
+    ``min(doc_id) GROUP BY sha`` over the log — or equivalently the last
+    emission per sha — equals the global min over all arrivals so far.
+    A batch that does not improve a sha's min emits nothing.
+
+    State is one long per distinct sha (same scaling story as
+    :func:`stream_dedup_docs`); update-mode output needs a
+    ``foreachBatch`` sink for files (see :func:`run_dedup_stream_min`).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def running_min(key, pdfs, state: GroupState):
+        best = None
+        for pdf in pdfs:
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        if best is None:
+            return
+        if state.exists:
+            (cur,) = state.get
+            if best >= cur:
+                return  # no improvement — nothing to emit
+        state.update((best,))
+        yield pd.DataFrame({"sha": [key[0]], "doc_id": [best]})
+
+    return (
+        docs_stream
+        .withColumn("sha", F.sha2("text", 256))
+        .groupBy("sha")
+        .applyInPandasWithState(
+            running_min,
+            outputStructType="sha string, doc_id long",
+            stateStructType="min_id long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_stream_min(spark: SparkSession, src_dir: str, out_dir: str,
+                         checkpoint_dir: str,
+                         max_files_per_trigger: int = 1):
+    """src parquet dir of documents → global-min (sha, doc_id) emission
+    log under ``out_dir`` (update-mode improvements appended via
+    foreachBatch — the file-sink pattern for update output). Compact
+    with ``min(doc_id) GROUP BY sha`` (monotone emissions make that the
+    last-emitted, i.e. global-min, value). Drains with availableNow."""
+    schema = spark.read.parquet(src_dir).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_dedup_docs_min(docs)
+        .writeStream
+        .foreachBatch(lambda df, bid: df.write.mode("append")
+                      .parquet(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 # State-store provider for large dedup state: RocksDB keeps per-key state
 # off-heap with incremental checkpointing — the 100 TB default. Pass to
 # get_spark(extra=...) or use run_dedup_stream(rocksdb_state=True).

@@ -199,6 +199,72 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
         (more.selectExpr("sha2(text, 256) s").collect()[1]["s"], 201)}
 
 
+def test_streaming_dedup_global_min_update_mode(spark, tmp_path):
+    """Global-min variant: a LATER batch with a smaller doc_id re-emits
+    the improvement (update-mode running-min state), so the compacted
+    log equals the global min over all arrivals — where first-batch-wins
+    would have kept the first batch's representative. Restart with
+    existing state keeps improving; non-improving arrivals emit
+    nothing."""
+    import os
+    import shutil
+    import time
+
+    from kgspark import streaming
+
+    src, out, ck = (str(tmp_path / d) for d in ("srcm", "outm", "ckm"))
+    os.makedirs(src)
+    big = spark.createDataFrame(
+        [(i + 1000, f"gmin text {i % 3}", "en", "s", 10)
+         for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+    small = spark.createDataFrame(
+        [(7, "gmin text 1", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars int")
+
+    def one_file(df, dest):
+        stage = dest + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in sorted(os.listdir(stage))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part), dest)
+        shutil.rmtree(stage)
+
+    now = time.time()
+    one_file(big, os.path.join(src, "b1.parquet"))
+    one_file(small, os.path.join(src, "b2.parquet"))
+    os.utime(os.path.join(src, "b1.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(src, "b2.parquet"), (now, now))
+
+    streaming.run_dedup_stream_min(spark, src, out, ck)
+    log = spark.read.parquet(out)
+    compact = {(r["sha"], r["doc_id"])
+               for r in log.groupBy("sha")
+               .agg(F.min("doc_id").alias("doc_id")).collect()}
+    sha1 = small.selectExpr("sha2(text, 256) s").first()["s"]
+    # text 1's global min is the LATER small id 7; others keep batch-1 mins
+    assert (sha1, 7) in compact and len(compact) == 3
+    # the improvement was a second emission for that sha
+    assert log.where(F.col("sha") == sha1).count() == 2
+
+    # restart: a non-improving arrival emits nothing, an improving one
+    # re-emits again
+    more = spark.createDataFrame(
+        [(5000, "gmin text 0", "en", "s", 10),   # worse than 1000
+         (3, "gmin text 2", "en", "s", 10)],     # better than 1002
+        "doc_id long, text string, lang string, source string, n_chars int")
+    one_file(more, os.path.join(src, "b3.parquet"))
+    os.utime(os.path.join(src, "b3.parquet"), (now + 120, now + 120))
+    streaming.run_dedup_stream_min(spark, src, out, ck)
+    log2 = spark.read.parquet(out)
+    assert log2.count() == log.count() + 1  # only the improvement emitted
+    compact2 = {(r["sha"], r["doc_id"])
+                for r in log2.groupBy("sha")
+                .agg(F.min("doc_id").alias("doc_id")).collect()}
+    sha2 = more.selectExpr("sha2(text, 256) s").collect()[1]["s"]
+    assert (sha2, 3) in compact2
+
+
 def test_streaming_dedup_rocksdb_provider_and_ttl(spark, tmp_path):
     """State-hygiene knobs: the RocksDB state-store provider yields the
     identical first-seen log (and the session conf is restored), and
