@@ -290,6 +290,37 @@ def ivf_centroids(emb: DataFrame, n_centroids: int | None = None) -> DataFrame:
     )
 
 
+def ivf_centroids_refined(emb: DataFrame,
+                          n_centroids: int | None = None) -> DataFrame:
+    """→ (cid, cvec): ONE Lloyd refinement pass over the hash-picked
+    seed centroids — assign every corpus vector to its nearest seed
+    (top-1 cosine, the same broadcast map as the list build), then
+    re-average each cluster element-wise. Two narrow jobs: the
+    assignment map and one hash aggregate of d-column partial sums
+    (map-side combine — never a per-cluster vector collect).
+
+    Cheap, and typically tightens the lists (higher recall at the same
+    nprobe) vs raw seeds. Determinism: refined components are ROUNDED
+    to 6dp — the established Spark↔DuckDB float convention — so both
+    sides' order-dependent means agree and every downstream argmin sees
+    identical values. A seed with an empty cluster keeps its (rounded)
+    seed vector; in practice each seed's own vector lands in its
+    cluster (self-cosine 1), so clusters are non-empty."""
+    cents = ivf_centroids(emb, n_centroids)
+    assign = ivf_assign(emb, cents, nprobe=1)
+    d = len(emb.select("embedding").first()["embedding"])
+    mem = assign.join(emb, "vec_id")
+    means = mem.groupBy("cid").agg(
+        *[F.round(F.avg(F.col("embedding")[i]), 6).alias(f"_m{i}")
+          for i in range(d)])
+    refined = means.select(
+        "cid", F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("rvec"))
+    seed_rounded = F.transform(F.col("cvec"), lambda x: F.round(x, 6))
+    return (cents.join(refined, "cid", "left")
+            .select("cid",
+                    F.coalesce(F.col("rvec"), seed_rounded).alias("cvec")))
+
+
 def ivf_assign(emb: DataFrame, cents: DataFrame,
                nprobe: int = 1) -> DataFrame:
     """→ (vec_id, cid): each vector's top-``nprobe`` centroids by cosine
@@ -312,14 +343,17 @@ def ivf_assign(emb: DataFrame, cents: DataFrame,
 
 def ann_ivf(emb: DataFrame, k: int = 5, query_mod: int = 25,
             n_centroids: int | None = None,
-            nprobe: int = NPROBE) -> DataFrame:
+            nprobe: int = NPROBE, refine: bool = True) -> DataFrame:
     """IVF-flat ANN: corpus vectors live in their nearest centroid's
     inverted list; a query probes its ``nprobe`` nearest lists and
     exact-cosine re-ranks only those candidates → (q_id, vec_id, cos,
     rnk). Work per query is O(n_centroids + n/n_centroids · nprobe)
     instead of O(n) — with √N lists the classic √N speedup; candidate
-    generation is two hash joins on ``cid``, no all-pairs anywhere."""
-    cents = ivf_centroids(emb, n_centroids)
+    generation is two hash joins on ``cid``, no all-pairs anywhere.
+    ``refine=True`` (default) runs one Lloyd pass over the seed
+    centroids first (see :func:`ivf_centroids_refined`)."""
+    cents = (ivf_centroids_refined(emb, n_centroids) if refine
+             else ivf_centroids(emb, n_centroids))
     lists = ivf_assign(emb, cents, nprobe=1)
     queries = emb.where(F.col("vec_id") % query_mod == 0)
     qprobe = ivf_assign(queries, cents, nprobe=nprobe) \
@@ -397,19 +431,47 @@ CROSS JOIN ccks ks
 
 def ann_ivf_sql(k: int = 5, query_mod: int = 25,
                 n_centroids: int = N_CENTROIDS,
-                nprobe: int = NPROBE) -> str:
+                nprobe: int = NPROBE, dim: int = DIM) -> str:
     """Oracle for :func:`ann_ivf`: identical hash-picked seed centroids,
-    top-1 list assignment / top-nprobe query probing by cosine (ties by
-    cid), exact re-rank of probed candidates."""
+    one Lloyd refinement pass (per-cluster element-wise means, rounded
+    to 6dp on both sides), top-1 list assignment / top-nprobe query
+    probing by cosine (ties by cid), exact re-rank of probed
+    candidates."""
     seed_h = sql_phash32(
         "concat_ws('|', 'ivfseed', CAST(vec_id AS VARCHAR))", "duckdb")
     d_qe = _DOT.format(x="q.embedding", y="e.embedding")
     return f"""
 WITH {_norm_cte()},
-ivc AS (
+ivc0 AS (
   SELECT vec_id AS cid, embedding AS cvec
   FROM (SELECT vec_id, embedding, {seed_h} AS h FROM embeddings
         ORDER BY h, vec_id LIMIT {n_centroids})),
+ivc0n AS (SELECT cid, cvec,
+                 sqrt({_DOT.format(x="cvec", y="cvec")}) AS cn FROM ivc0),
+iva0 AS (
+  SELECT en.vec_id, ivc0n.cid,
+         {_DOT.format(x="en.embedding", y="ivc0n.cvec")}
+           / (en.norm * ivc0n.cn) AS cs
+  FROM en CROSS JOIN ivc0n),
+ivm0 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid) AS rn
+    FROM iva0) WHERE rn = 1),
+ivmem AS (SELECT m.cid, e.embedding
+          FROM ivm0 m JOIN embeddings e USING (vec_id)),
+ivslot AS (
+  SELECT cid, i, round(avg(embedding[i]), 6) AS m
+  FROM ivmem CROSS JOIN generate_series(1, {dim}) t(i)
+  GROUP BY cid, i),
+ivref0 AS (SELECT cid, list(m ORDER BY i) AS rvec
+           FROM ivslot GROUP BY cid),
+ivc AS (
+  SELECT ivc0.cid,
+         coalesce(ivref0.rvec,
+                  list_transform(ivc0.cvec, x -> round(x, 6))) AS cvec
+  FROM ivc0 LEFT JOIN ivref0 USING (cid)),
 ivcn AS (SELECT cid, cvec,
                 sqrt({_DOT.format(x="cvec", y="cvec")}) AS cn FROM ivc),
 ivs AS (

@@ -367,14 +367,20 @@ def test_hole_scores_match_numpy_reference_formula(spark):
 def test_ann_ivf_recall_and_scaling_defaults(spark, duck, emb):
     """IVF-flat: oracle parity, recall floor vs brute force on the
     random-cosine fixture (the hardest regime — same caveat as the LSH
-    floor test), and the √N list-count default."""
+    floor test), and the √N list-count default. Floors tightened after
+    the Lloyd refinement pass (r6): nprobe=3 measured 0.55 (seeds:
+    0.48), nprobe=6 measured 0.81 (seeds: 0.66)."""
     got = simsearch.ann_ivf(emb)
     assert_df_equal(got, duck.execute(simsearch.ann_ivf_sql()))
     brute = simsearch.ann_bruteforce(emb).select("q_id", "vec_id")
     hits = brute.join(got.select("q_id", "vec_id"), ["q_id", "vec_id"]).count()
-    assert hits / brute.count() >= 0.40  # measured 0.48 at nprobe=3
+    assert hits / brute.count() >= 0.50
     wide = simsearch.ann_ivf(emb, nprobe=6).select("q_id", "vec_id")
-    assert brute.join(wide, ["q_id", "vec_id"]).count() / brute.count() >= 0.60
+    assert brute.join(wide, ["q_id", "vec_id"]).count() / brute.count() >= 0.75
+    # the refinement is the lift: raw seeds stay strictly below
+    seeds = simsearch.ann_ivf(emb, refine=False).select("q_id", "vec_id")
+    assert (brute.join(seeds, ["q_id", "vec_id"]).count()
+            < hits)
     assert simsearch.auto_centroids(500) == 16  # fixture-identical
     assert simsearch.auto_centroids(10 ** 6) == 1024
     assert simsearch.auto_centroids(10 ** 9) == 4096
