@@ -75,6 +75,97 @@ def proje_scores(triples: DataFrame, d: int = DIM_EMB) -> DataFrame:
     return triples.select("s", "p", "o", score.alias("score"))
 
 
+def proje_scores_trained(triples: DataFrame, E: DataFrame, R: DataFrame,
+                         w1: list[float], w2: list[float],
+                         d: int = DIM_EMB) -> DataFrame:
+    """→ (s, p, o, score): ProjE 'simple' scoring with TRAINED
+    parameters slotted in — entity/relation tables joined (R
+    broadcast), the global combination weights w1/w2 as literal arrays
+    (a broadcast parameter row: p-independent, so it never shuffles).
+    Same composition as :func:`proje_scores`, exercising the documented
+    claim that trained parameters drop into the hash-substrate surface
+    unchanged. The full TF trainer (reference embeddings.py:164-400) is
+    TF-bound; :func:`numpy_proje_fit` provides a driver-side
+    margin-SGD fit for fixture-scale parameters."""
+    w1c = F.array(*[F.lit(float(x)) for x in w1])
+    w2c = F.array(*[F.lit(float(x)) for x in w2])
+    t = (
+        triples
+        .join(E.select(F.col("e").alias("s"), F.col("vec").alias("es")), "s")
+        .join(E.select(F.col("e").alias("o"), F.col("vec").alias("eo")), "o")
+        .join(F.broadcast(R.select("p", F.col("vec").alias("rp"))), "p")
+    )
+    hr = F.zip_with(F.zip_with(F.col("es"), w1c, lambda a, b: a * b),
+                    F.zip_with(F.col("rp"), w2c, lambda a, b: a * b),
+                    lambda a, b: a + b)
+    c = F.transform(hr, lambda x: 1.0 - 2.0 / (F.exp(2.0 * x) + 1.0))
+    t = t.select("s", "p", "o", "es", "eo", c.alias("_c"))
+    score = F.round((_dot(F.col("_c"), F.col("es"))
+                     + _dot(F.col("_c"), F.col("eo"))) / 2.0, 6)
+    return t.select("s", "p", "o", score.alias("score"))
+
+
+def numpy_proje_fit(rows: list[tuple[int, int, int]], n_entities: int,
+                    d: int = DIM_EMB, epochs: int = 2, lr: float = 0.1,
+                    margin: float = 1.0):
+    """Driver-side margin-SGD fit of the ProjE 'simple' parameters
+    (E, R, w1, w2) — the fixture-scale stand-in for the reference's TF
+    trainer (embeddings.py:164-400; TF absent here). Same recipe as the
+    other replicas: hash-substrate init, content-keyed corrupt-object
+    negatives (salt ``pjneg``), pairwise hinge on the raw score. This
+    is a small dense model (entities on the fixture KG), so a
+    distributed fit buys nothing — the trained params broadcast into
+    :func:`proje_scores_trained`."""
+    import math
+
+    from kgspark.simsearch import _py_phash32
+
+    def vec(salt: str, ident) -> list[float]:
+        return [(_py_phash32(f"{salt}|{ident}|{i}") % 1000) / 1000.0 - 0.5
+                for i in range(d)]
+
+    def tanh(x):
+        return 1.0 - 2.0 / (math.exp(2.0 * x) + 1.0)
+
+    ents = sorted({r[0] for r in rows} | {r[2] for r in rows})
+    E = {e: vec("pe", e) for e in ents}
+    R = {p: vec("pr", p) for p in sorted({r[1] for r in rows})}
+    w1, w2 = vec("pw1", 0), vec("pw2", 0)
+
+    def fgrad(h, r, o):
+        """score + gradients wrt (h, r, o, w1, w2)."""
+        hr = [h[i] * w1[i] + r[i] * w2[i] for i in range(d)]
+        c = [tanh(x) for x in hr]
+        f = sum(c[i] * (h[i] + o[i]) for i in range(d)) / 2.0
+        gh, gr, go, g1, g2 = [], [], [], [], []
+        for i in range(d):
+            dci = (1.0 - c[i] * c[i]) * (h[i] + o[i]) / 2.0
+            gh.append(c[i] / 2.0 + dci * w1[i])
+            go.append(c[i] / 2.0)
+            gr.append(dci * w2[i])
+            g1.append(dci * h[i])
+            g2.append(dci * r[i])
+        return f, gh, gr, go, g1, g2
+
+    for ep in range(epochs):
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"pjneg|{s}|{p}|{o}|{ep}") % n_entities) + 1
+            if oneg not in E:
+                continue
+            fp, ghp, grp, gop, g1p, g2p = fgrad(E[s], R[p], E[o])
+            fn, ghn, grn, gon, g1n, g2n = fgrad(E[s], R[p], E[oneg])
+            if margin - fp + fn <= 0:
+                continue
+            # descend the hinge: +∂f_pos, −∂f_neg
+            E[s] = [v + lr * (a - b) for v, a, b in zip(E[s], ghp, ghn)]
+            E[o] = [v + lr * a for v, a in zip(E[o], gop)]
+            E[oneg] = [v - lr * a for v, a in zip(E[oneg], gon)]
+            R[p] = [v + lr * (a - b) for v, a, b in zip(R[p], grp, grn)]
+            w1 = [v + lr * (a - b) for v, a, b in zip(w1, g1p, g1n)]
+            w2 = [v + lr * (a - b) for v, a, b in zip(w2, g2p, g2n)]
+    return E, R, w1, w2
+
+
 def rescal_w(p_col: Column, d: int = DIM_EMB) -> Column:
     """Deterministic d×d relation matrix W_p (row-major nested arrays)
     from the hash substrate: W[i][j] = (h('rw'|p|i|j) % 1000)/1000 − 0.5."""

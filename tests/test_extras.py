@@ -619,6 +619,61 @@ def test_hole_training_reduces_margin_loss(spark):
     assert loss(E2, R2) < loss(E0, R0)
 
 
+def test_proje_trained_params_slot_in(spark):
+    """ProjE: the driver-side margin-SGD fit produces NON-hash
+    parameters whose hinge loss beats the initial substrate, and
+    proje_scores_trained scores with them exactly as the python replica
+    (the 'trained parameters slot in as a broadcast row' claim,
+    exercised rather than documented)."""
+    import math
+
+    from kgspark import embeddings
+    from kgspark.simsearch import _py_phash32
+
+    rows = [(1, 1, 2), (2, 1, 3), (3, 1, 4), (4, 1, 5), (5, 1, 6),
+            (6, 2, 1), (5, 2, 2), (4, 2, 3), (3, 2, 6), (2, 2, 5)]
+    n, d = 6, embeddings.DIM_EMB
+    E, R, w1, w2 = embeddings.numpy_proje_fit(rows, n)
+    E0, R0, w10, w20 = embeddings.numpy_proje_fit(rows, n, epochs=0)
+    assert w1 != w10 and E != E0  # genuinely trained, not the substrate
+
+    def tanh(x):
+        return 1.0 - 2.0 / (math.exp(2.0 * x) + 1.0)
+
+    def score(h, r, o):
+        c = [tanh(h[i] * w1[i] + r[i] * w2[i]) for i in range(d)]
+        return (sum(ci * hi for ci, hi in zip(c, h))
+                + sum(ci * oi for ci, oi in zip(c, o))) / 2.0
+
+    def loss(E_, R_, w1_, w2_):
+        tot = 0.0
+        for s, p, o in rows:
+            oneg = (_py_phash32(f"pjneg|{s}|{p}|{o}|0") % n) + 1
+            if oneg not in E_:
+                continue
+            c = [tanh(E_[s][i] * w1_[i] + R_[p][i] * w2_[i])
+                 for i in range(d)]
+            f = sum(ci * (E_[s][i] + E_[o][i])
+                    for i, ci in enumerate(c)) / 2.0
+            fn = sum(ci * (E_[s][i] + E_[oneg][i])
+                     for i, ci in enumerate(c)) / 2.0
+            tot += max(0.0, 1.0 - f + fn)
+        return tot
+
+    assert loss(E, R, w1, w2) < loss(E0, R0, w10, w20)
+
+    t = spark.createDataFrame(rows, "s long, p int, o long")
+    Edf = spark.createDataFrame(
+        [(e, v) for e, v in E.items()], "e long, vec array<double>")
+    Rdf = spark.createDataFrame(
+        [(p, v) for p, v in R.items()], "p int, vec array<double>")
+    got = {(r["s"], r["p"], r["o"]): r["score"]
+           for r in embeddings.proje_scores_trained(
+               t, Edf, Rdf, w1, w2).collect()}
+    for s, p, o in rows:
+        assert abs(got[(s, p, o)] - round(score(E[s], R[p], E[o]), 6)) < 2e-6
+
+
 def test_rescal_distributed_fit_matches_numpy_bit_exact(spark):
     """M9 RESCAL training: the distributed fit (outer-product bilinear
     gradients, sorted folds, d²-wide relation side) equals the
