@@ -118,6 +118,23 @@ def test_rescal_scale_mode_gradient_plan_has_no_collect_list(spark):
         assert "HashAggregate" in p
 
 
+def test_ivf_refined_centroid_plan_is_aggregate_only(spark):
+    """The Lloyd refinement must be a plain hash aggregate of d-column
+    partial means (map-side combine): no collect_list of member vectors
+    per cluster, and the only centroid-vs-corpus compare is the
+    broadcast of the tiny centroid table (by-design N×√N map, never a
+    corpus-vs-corpus product)."""
+    from kgspark import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = simsearch.ivf_centroids_refined(emb)
+    p = _plan(cents)
+    assert "collect_list" not in p
+    assert "HashAggregate" in p
+    assert "BroadcastNestedLoopJoin" in p  # emb × broadcast(centroids)
+    assert "CartesianProduct" not in p     # never a shuffled product
+
+
 def test_corrections_plan_no_cartesian_no_single_partition(spark):
     """The correction funnel (blocking self-join + rescore joins +
     bounded per-suspect window) must stay free of cartesian products and
