@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kgspark.link import damerau_levenshtein_udf
+from kgspark.link import damerau_levenshtein_nodup
 
 MAX_DIST = 2
 MIN_SCORE = 0.05
@@ -102,6 +102,8 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
     if max_bucket == "auto":
         max_bucket = auto_max_bucket(
             entities.count() if n_entities is None else n_entities)
+    from kgspark.util import materialize
+
     m = entities.select(
         F.col("id"),
         F.regexp_replace(F.lower("name"), "[^a-z0-9]", "").alias("norm"))
@@ -111,14 +113,25 @@ def name_candidates(entities: DataFrame, max_dist: int = MAX_DIST,
         ok = v.groupBy("var").agg(F.count("*").alias("_n")) \
             .where(F.col("_n") <= max_bucket).select("var")
         v = v.join(ok, "var", "left_semi")
+    # checkpoint the capped variant table: it feeds BOTH sides of the
+    # blocking self-join (separate subtrees — the explode+distinct+cap
+    # chain would otherwise execute twice per action)
+    v = materialize(v)
     vl = v if subjects is None else v.join(
         subjects.select("id"), "id", "left_semi")
     l = vl.select("var", F.col("id").alias("a"), F.col("norm").alias("na"))
     r = v.select("var", F.col("id").alias("b"), F.col("norm").alias("nb"))
-    pairs = (
+    cand = (
         l.join(r, "var").where(F.col("a") != F.col("b"))
         .select("a", "b", "na", "nb").distinct()
-        .withColumn("dist", damerau_levenshtein_udf("na", "nb"))
+    )
+    # spread the CPU-bound DP verify: the distinct's output is a few MB,
+    # which AQE coalesces to one partition — a single Python worker would
+    # then run every edit-distance computation serially
+    from kgspark.util import shuffle_parts
+    cand = cand.repartition(shuffle_parts(cand))
+    pairs = (
+        cand.withColumn("dist", damerau_levenshtein_nodup("na", "nb"))
         .where(F.col("dist") <= max_dist)
         .select("a", "b", "dist")
     )
@@ -184,6 +197,12 @@ def correct_errors(
     cand = cand.join(
         facts.select("s", "p", F.col("o").alias("o_new")),
         ["s", "p", "o_new"], "left_anti")
+    # checkpoint the gated candidate set: it feeds the re-score key
+    # distinct AND the final join — without truncation the whole funnel
+    # (blocking self-join + edit-distance UDF + gates) executes once per
+    # consumer subtree
+    from kgspark.util import materialize as _mz
+    cand = _mz(cand)
 
     # re-score (s, p, o_new) against the noisy graph's fitted distribution
     dist = ot_dist(facts, types, "o")
@@ -434,6 +453,11 @@ def type_corrections(
             pred.where("pred").select(F.col("e").alias("o"),
                                       F.col("t").alias("t_new")),
             ["o", "t_new"], "left_semi")
+
+    # checkpoint the gated candidate set: it feeds the re-score key
+    # distinct AND the final join (same duplication as correct_errors)
+    from kgspark.util import materialize as _mz
+    cand = _mz(cand)
 
     dist = ot_dist(facts, types, "o")
     norms = dist.groupBy("p").agg(

@@ -59,26 +59,33 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 def minhash_bands(items: DataFrame, id_col: str = "doc_id",
                   item_col: str = "shingle") -> DataFrame:
-    """Generic portable MinHash banding → (id, band, key)."""
+    """Generic portable MinHash banding → (id, band, key).
+
+    The per-band rows come from ONE explode over the signature table
+    instead of an N-band union — one scan of the aggregate, no repeated
+    subtree per band.
+    """
     aggs = [F.min(phash32([F.col(item_col)], f"mh{i}")).alias(f"h{i}")
             for i in range(N_HASHES)]
     sig = items.groupBy(id_col).agg(*aggs)
-    parts = []
-    for j in range(N_HASHES // BAND_ROWS):
-        cols = [F.col(f"h{j * BAND_ROWS + r}").cast("string")
-                for r in range(BAND_ROWS)]
-        parts.append(sig.select(
-            F.col(id_col), F.lit(j).alias("band"),
-            F.concat_ws("_", *cols).alias("key")))
-    out = parts[0]
-    for q in parts[1:]:
-        out = out.unionByName(q)
-    return out
+    bands = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{j * BAND_ROWS + r}").cast("string")
+                               for r in range(BAND_ROWS)]).alias("key"))
+        for j in range(N_HASHES // BAND_ROWS)])
+    return (sig.select(F.col(id_col), F.explode(bands).alias("_bk"))
+            .select(id_col, "_bk.band", "_bk.key"))
 
 
 def lsh_pairs(items: DataFrame, id_col: str = "doc_id",
               item_col: str = "shingle") -> DataFrame:
-    bd = minhash_bands(items, id_col, item_col)
+    from kgspark.util import materialize
+
+    # checkpoint the banded table: it feeds BOTH sides of the blocking
+    # self-join (separate subtrees — the shingle aggregation would
+    # otherwise execute twice)
+    bd = materialize(minhash_bands(items, id_col, item_col))
     l = bd.select("band", "key", F.col(id_col).alias("a"))
     r = bd.select("band", "key", F.col(id_col).alias("b"))
     return (l.join(r, ["band", "key"]).where(F.col("a") < F.col("b"))
@@ -112,23 +119,33 @@ def jaccard_verify(pairs: DataFrame, items: DataFrame,
 
 def dedup_minhash(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH blocking + exact Jaccard ≥ τ."""
-    sh = shingles(docs)
+    from kgspark.util import materialize
+
+    # the shingle table feeds the signature aggregate AND three arms of
+    # the Jaccard verify — checkpoint it once
+    sh = materialize(shingles(docs))
     cand = lsh_pairs(sh)
     return jaccard_verify(cand, sh, threshold=threshold) \
         .withColumn("jaccard", F.round("jaccard", 6))
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """→ (doc_id, simhash): 32-bit term-frequency-weighted SimHash."""
+    """→ (doc_id, simhash): 32-bit term-frequency-weighted SimHash.
+
+    Single-shuffle formulation: summing ±1 per token OCCURRENCE equals
+    summing ±w per distinct (doc, token) with w = occurrence count —
+    integer addition is exact, so the per-bit totals (and the signature)
+    are identical while the (doc_id, token) pre-aggregation shuffle
+    disappears; the per-doc groupBy partial-aggregates map-side.
+    """
     toks = (
         docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("w"))
         .withColumn("h", phash32([F.col("tok")], "simhash"))
     )
     bit_sums = toks.groupBy("doc_id").agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.col("w")).otherwise(-F.col("w"))
+                   F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ])
@@ -148,28 +165,31 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
     (pigeonhole over 4 bands ⇒ one band untouched for hamming ≤ 3; for
     larger radii this is a recall-oriented filter, stated explicitly).
     """
-    sh = simhash(docs)
-    bands = []
-    for j in range(4):
-        bands.append(sh.select(
-            "doc_id", F.lit(j).alias("band"),
-            F.shiftright(F.col("simhash"), j * 8).bitwiseAND(F.lit(255)).alias("key"),
-        ))
-    bd = bands[0]
-    for q in bands[1:]:
-        bd = bd.unionByName(q)
-    l = bd.select("band", "key", F.col("doc_id").alias("a"))
-    r = bd.select("band", "key", F.col("doc_id").alias("b"))
-    cand = (l.join(r, ["band", "key"]).where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    from kgspark.util import materialize
+
+    # checkpoint the signature (feeds both self-join sides); bands come
+    # from one explode instead of a 4-arm union, and each band row
+    # CARRIES its signature so the Hamming verify needs no join back to
+    # the signature table — the self-join is the only join left
+    sh = materialize(simhash(docs))
+    barr = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), j * 8).bitwiseAND(F.lit(255))
+            .alias("key"))
+        for j in range(4)])
+    bd = (sh.select("doc_id", "simhash", F.explode(barr).alias("_bk"))
+          .select("doc_id", "simhash", "_bk.band", "_bk.key"))
+    l = bd.select("band", "key", F.col("doc_id").alias("a"),
+                  F.col("simhash").alias("ha"))
+    r = bd.select("band", "key", F.col("doc_id").alias("b"),
+                  F.col("simhash").alias("hb"))
     return (
-        cand.join(sa, "a").join(sb, "b")
-        .withColumn("hamming", F.bit_count(
-            F.col("ha").bitwiseXOR(F.col("hb"))))
+        l.join(r, ["band", "key"]).where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .distinct()
     )
 
 

@@ -39,7 +39,13 @@ def dense_ids(names: DataFrame, name_col: str = "name",
               id_col: str = "id") -> DataFrame:
     """Distinct single-column DataFrame → (id, name), 1-based dense ids
     ranked by (portable_hash(name), name)."""
-    b = (
+    from kgspark.util import materialize
+
+    # checkpoint the distinct-names table: it feeds BOTH the histogram
+    # collect and the final ranked projection (separate actions — nothing
+    # is reused across them otherwise, so the distinct shuffle of the
+    # dimension would run twice)
+    b = materialize(
         names.select(F.col(name_col)).distinct()
         .withColumn("_h", phash32([F.col(name_col)], "ids"))
         .withColumn("_b", F.shiftright("_h", _BUCKET_SHIFT))

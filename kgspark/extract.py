@@ -62,7 +62,7 @@ def file_entity() -> F.Column:
     return F.concat(F.lit("file:"), F.col("repo"), F.lit("/"), F.col("path"))
 
 
-def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True,
+def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = False,
                     file_mentions: bool | None = None) -> DataFrame:
     """repo_files → distinct (subj, pred, obj) string triples.
 
@@ -73,13 +73,16 @@ def extract_triples(repo_files: DataFrame, use_pandas_udf: bool = True,
     instead of once per relation arm. The only shuffle is the final
     dedup.
 
-    ``use_pandas_udf=False`` swaps the import/define mention detectors
-    for Spark's JVM-side ``regexp_extract_all`` (identical semantics, no
-    Python worker boundary) — the fast path when regexes suffice; the
-    pandas-UDF path is the general mention-detection hook (tokenizers,
-    tree-sitter, …). The file→file detectors (rich corpus) are plain
-    path tokens and always run JVM-side; repo-relative targets resolve
-    to the mentioning file's own repo.
+    ``use_pandas_udf=False`` (the default — guide §4.1: prefer built-ins)
+    runs the import/define mention detectors as Spark's JVM-side
+    ``regexp_extract_all`` — identical output (pinned by
+    tests/test_extract.py), no Python worker boundary, no
+    ArrowEvalPython node in the plan. ``use_pandas_udf=True`` swaps in
+    the Arrow-batched pandas detectors — the general mention-detection
+    hook (tokenizers, tree-sitter, …) for extractors a regex cannot
+    express. The file→file detectors (rich corpus) are plain path
+    tokens and always run JVM-side; repo-relative targets resolve to
+    the mentioning file's own repo.
 
     ``file_mentions`` gates the two file→file detectors (includes /
     tested_by — only the RICH fixture content produces them):

@@ -84,22 +84,25 @@ def minhash_signatures(mentions: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(mentions: DataFrame) -> DataFrame:
-    """Banded-LSH blocking → candidate pairs (a, b), a < b (J8)."""
+    """Banded-LSH blocking → candidate pairs (a, b), a < b (J8).
+
+    The per-band rows come from ONE explode over the checkpointed
+    signature table (instead of an n-band union whose signature subtree
+    then feeds both self-join sides — the gram aggregation would
+    otherwise execute twice per action)."""
+    from kgspark.util import materialize
+
     sig = minhash_signatures(mentions)
     n_bands = N_HASHES // BAND_ROWS
-    bands = []
-    for j in range(n_bands):
-        cols = [F.col(f"h{j * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        bands.append(
-            sig.select(
-                "name",
-                F.lit(j).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("key"),
-            )
-        )
-    bd = bands[0]
-    for b in bands[1:]:
-        bd = bd.unionByName(b)
+    barr = F.array(*[
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{j * BAND_ROWS + r}").cast("string")
+                               for r in range(BAND_ROWS)]).alias("key"))
+        for j in range(n_bands)])
+    bd = materialize(
+        sig.select("name", F.explode(barr).alias("_bk"))
+        .select("name", "_bk.band", "_bk.key"))
     l = bd.select("band", "key", F.col("name").alias("a"))
     r = bd.select("band", "key", F.col("name").alias("b"))
     return (
@@ -117,7 +120,9 @@ def verified_pairs(triples_raw: DataFrame, prefix: str = "module:",
     max_lev=0 → equal-after-normalization (the canonical pipeline rule);
     max_lev=1 → fuzzy edit-distance-1 linking (F4 analog).
     """
-    mentions = normalize_mentions(triples_raw, prefix)
+    # the mention table feeds the gram/signature chain and both verify
+    # arms — checkpoint it once
+    mentions = materialize(normalize_mentions(triples_raw, prefix))
     cand = lsh_candidate_pairs(mentions)
     na = mentions.select(F.col("name").alias("a"), F.col("norm").alias("norm_a"))
     nb = mentions.select(F.col("name").alias("b"), F.col("norm").alias("norm_b"))
@@ -143,10 +148,16 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
     sym = materialize(sym)
-    nodes = sym.select(F.col("a").alias("node")).distinct()
-    labels = materialize(nodes.withColumn("comp", F.col("node")))
+    # fold node init + the first propagation round into one aggregation:
+    # after round 1 every label is min(self, direct neighbors), which is
+    # exactly groupBy(a).min(b) floored by a (sym is symmetric, so every
+    # node appears on the a side) — same fixpoint, one fewer join round
+    labels = materialize(
+        sym.groupBy("a").agg(F.min("b").alias("_mb"))
+        .select(F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("_mb")).alias("comp")))
 
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neigh = (
             sym.join(labels.withColumnRenamed("node", "b")
                      .withColumnRenamed("comp", "nc"), "b")
@@ -273,6 +284,14 @@ def damerau_levenshtein_udf(a, b):
 
     return pd.Series([osa_distance(x, y) for x, y in zip(a, b)],
                      dtype="int32")
+
+
+# Non-deterministic-marked copy for call sites that FILTER on the UDF
+# output: the optimizer otherwise pushes the filter below the upstream
+# distinct and re-evaluates the UDF above it — two ArrowEvalPython nodes,
+# every pair paying the DP twice (guide §4.4). The function is pure; the
+# marking only pins a single evaluation site.
+damerau_levenshtein_nodup = damerau_levenshtein_udf.asNondeterministic()
 
 
 def dl_pairs(triples_raw: DataFrame, prefix: str = "module:") -> DataFrame:

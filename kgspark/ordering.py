@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True when ``df`` is already a checkpointed/scanned leaf (LogicalRDD
+    from ``localCheckpoint`` / ``createDataFrame``), i.e. re-executing it
+    costs a scan, not a recompute of upstream lineage."""
+    try:
+        name = df._jdf.queryExecution().logical().getClass().getSimpleName()
+        return name in ("LogicalRDD", "LocalRelation")
+    except Exception:
+        return False
+
+
 def _ranged_with_offsets(
     df: DataFrame,
     order_cols: list[str],
@@ -42,11 +53,26 @@ def _ranged_with_offsets(
     the ONLY driver-side collect, so the pattern holds at any row count.
     """
     spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
 
     from kgspark.util import materialize
 
+    # repartitionByRange runs the child TWICE (boundary-sampling pass +
+    # the shuffle map); checkpoint non-trivial lineage first so the
+    # upstream (often a full scoring pipeline) is computed once.
+    if not _is_materialized(df):
+        df = materialize(df)
+    if num_partitions is None:
+        # scale-adaptive width: track the (AQE-coalesced) input partition
+        # count — an explicit repartitionByRange(N) is exempt from AQE
+        # coalescing, so a fixed N would mean N near-empty range tasks on
+        # small inputs and too-few on huge ones. Cap at 2x cluster
+        # parallelism (the session's shuffle sizing policy).
+        try:
+            in_parts = df.rdd.getNumPartitions()
+        except Exception:
+            in_parts = spark.sparkContext.defaultParallelism * 2
+        num_partitions = max(8, min(
+            in_parts, spark.sparkContext.defaultParallelism * 2))
     cols = [F.col(c) for c in order_cols]
     ranged = materialize(df.repartitionByRange(num_partitions, *cols)) \
         .withColumn("_pid", F.spark_partition_id())

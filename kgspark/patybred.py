@@ -74,13 +74,24 @@ def augmented(triples: DataFrame, R: int) -> DataFrame:
 
 
 def symmetric_relations(triples: DataFrame) -> list[int]:
-    """p where the relation equals its transpose (util.py:86-118, P4)."""
+    """p where the relation equals its transpose (util.py:86-118, P4).
+
+    One join + one aggregation + ONE collect (the anti-join/two-collect
+    formulation ran three jobs): p is symmetric iff every (s,p,o) row
+    finds its transpose — i.e. no unmatched row in the left join, so the
+    matched count equals the row count. Duplicate rows inflate both
+    counts equally and cannot flip the equality.
+    """
     t = triples
-    trans = t.select(F.col("o").alias("s"), "p", F.col("s").alias("o"))
-    missing = t.join(trans, ["s", "p", "o"], "left_anti").select("p").distinct()
-    have = {r["p"] for r in t.select("p").distinct().collect()}
-    asym = {r["p"] for r in missing.collect()}
-    return sorted(have - asym)
+    trans = t.select(F.col("o").alias("s"), "p", F.col("s").alias("o")) \
+        .withColumn("_m", F.lit(1))
+    rows = (
+        t.join(trans, ["s", "p", "o"], "left")
+        .groupBy("p")
+        .agg(F.count("*").alias("_n"), F.count("_m").alias("_k"))
+        .collect()
+    )
+    return sorted(r["p"] for r in rows if r["_n"] == r["_k"])
 
 
 @dataclass
@@ -89,6 +100,12 @@ class PathIndex:
     paths: dict[tuple[int, ...], DataFrame]  # path -> (s, o) pairs, distinct
     supports: dict[tuple[int, ...], int]
     syms: list[int]
+    # lazily-built materialized feature tables (path_membership /
+    # path_endpoints): every fit/score/negatives call re-consumes the same
+    # ~2·|paths|-arm union — caching the checkpointed table makes each
+    # later consumer a single scan instead of a re-planned union
+    _memb: DataFrame | None = None
+    _endpoints: DataFrame | None = None
 
     @property
     def ordered(self) -> list[tuple[int, ...]]:
@@ -353,35 +370,43 @@ def _enumerate_paths(
 
         next_paths = []
         if candidates:
-            # Batched support counting: union every candidate product under
-            # a path-id column, materialize ONCE, count with ONE
-            # groupBy('_pid') job — job count per BFS level is O(1) instead
-            # of one Spark job per candidate path (matters for any larger
-            # relation vocabulary; reference analog patybred.py:257-296).
+            # Batched support counting as ONE join (guide §2.4): tag each
+            # prefix pair table with its pid, fan out to candidate pids
+            # via a tiny broadcast (prefix, last, pid) map, then a single
+            # equi-join keyed (last relation, middle entity) against aug
+            # — 2 exchanges for the whole level instead of 2 per
+            # candidate, and one groupBy('_pid') support count. The
+            # prefix arms are cheap scans (filters of the materialized
+            # aug / previous-level product table).
+            spark = aug.sparkSession
+
+            def _pid_of(path):
+                return "_".join(map(str, path))
+
+            cmap = spark.createDataFrame(
+                [(_pid_of(new[:-1]), new[-1], _pid_of(new))
+                 for new in candidates],
+                "_pre string, _last int, _pid string")
             parts = []
-            for new in candidates:
-                a = paths[new[:-1]].alias("a")
-                b = aug.where(F.col("p") == new[-1]).select(
-                    F.col("s").alias("m"), F.col("o").alias("o2")
-                ).alias("b")
-                parts.append(
-                    a.join(b, F.col("a.o") == F.col("b.m"))
-                    .select(F.lit("_".join(map(str, new))).alias("_pid"),
-                            F.col("a.s").alias("s"),
-                            F.col("b.o2").alias("o"))
-                    .distinct()
-                )
-            allprod = parts[0]
+            for pre in sorted({new[:-1] for new in candidates}):
+                parts.append(paths[pre].select(
+                    F.lit(_pid_of(pre)).alias("_pre"), "s", "o"))
+            pref = parts[0]
             for q in parts[1:]:
-                allprod = allprod.unionByName(q)
-            # the union carries (shuffle width × candidate count)
-            # partitions; every per-path filter downstream re-scans ALL
-            # of them, so collapse to the configured shuffle width
-            # before checkpointing (narrow coalesce, no extra shuffle) —
-            # kills the thousand-near-empty-task stages the per-path
-            # unions otherwise multiply into
-            from kgspark.util import shuffle_parts
-            allprod = materialize(allprod.coalesce(shuffle_parts(allprod)))
+                pref = pref.unionByName(q)
+            exp = (
+                pref.join(F.broadcast(cmap), "_pre")
+                .select("_pid", F.col("_last").alias("_lp"), "s",
+                        F.col("o").alias("_m"))
+            )
+            b = aug.select(F.col("p").alias("_lp"), F.col("s").alias("_m"),
+                           F.col("o").alias("o"))
+            allprod = (
+                exp.join(b, ["_lp", "_m"])
+                .select("_pid", "s", "o")
+                .distinct()
+            )
+            allprod = materialize(allprod)
             counts = {r["_pid"]: r["cnt"] for r in
                       allprod.groupBy("_pid")
                       .agg(F.count("*").alias("cnt")).collect()}
@@ -415,7 +440,14 @@ def _enumerate_paths(
 
 
 def path_membership(idx: PathIndex) -> DataFrame:
-    """Union table (feat, s, o) of all path pairs; feat = stable string id."""
+    """Union table (feat, s, o) of all path pairs; feat = stable string id.
+
+    Materialized once per PathIndex: the union spans ~2·|paths| arms and
+    is consumed by every fit/score/negatives call — caching the
+    checkpointed table turns each later consumer into a single scan.
+    """
+    if idx._memb is not None:
+        return idx._memb
     parts = []
     for path in idx.ordered:
         fid = "path_" + "_".join(map(str, path))
@@ -427,14 +459,18 @@ def path_membership(idx: PathIndex) -> DataFrame:
     out = parts[0]
     for q in parts[1:]:
         out = out.unionByName(q)
-    return out
+    idx._memb = materialize(out)
+    return idx._memb
 
 
 def path_endpoints(idx: PathIndex) -> DataFrame:
     """Union table (pid, e, side) of distinct path endpoints: side 'r' =
     subjects with an outgoing instance (matrix rows), 'c' = reachable
     objects (matrix cols) — the reference's ``path_rowscols``
-    (patybred.py:277-285)."""
+    (patybred.py:277-285). Materialized once per PathIndex (same reuse
+    argument as path_membership)."""
+    if idx._endpoints is not None:
+        return idx._endpoints
     parts = []
     for path in idx.ordered:
         pid = "_".join(map(str, path))
@@ -448,7 +484,8 @@ def path_endpoints(idx: PathIndex) -> DataFrame:
     out = parts[0]
     for q in parts[1:]:
         out = out.unionByName(q)
-    return out
+    idx._endpoints = materialize(out)
+    return idx._endpoints
 
 
 def features_long(facts: DataFrame, idx: PathIndex, types: DataFrame,
@@ -726,9 +763,12 @@ def fit_models(triples: DataFrame, idx: PathIndex, types: DataFrame,
     selection above the cap."""
     pos = sample_positives(triples)
     neg = generate_negatives(pos, triples, n_entities)
-    train = pos.withColumn("label", F.lit(1)).unionByName(
+    # checkpoint the training set: it feeds the feature join AND the
+    # labeled-row join — the positives-sampling + negative-generation
+    # chain would otherwise execute once per consumer subtree
+    train = materialize(pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
-    )
+    ))
     fl = features_long(train.select("s", "p", "o"), idx, types, iorels)
     rows = (
         train.join(
@@ -889,9 +929,10 @@ def fit_models_dt(triples: DataFrame, idx: PathIndex, types: DataFrame,
     rows per relation)."""
     pos = sample_positives(triples)
     neg = generate_negatives(pos, triples, n_entities)
-    train = pos.withColumn("label", F.lit(1)).unionByName(
+    # checkpoint the training set (see fit_models)
+    train = materialize(pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
-    )
+    ))
     fl = features_long(train.select("s", "p", "o"), idx, types, iorels)
     rows = train.join(
         fl.groupBy("s", "p", "o").agg(F.collect_set("feat").alias("feats")),

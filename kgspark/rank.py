@@ -63,7 +63,14 @@ FROM sc JOIN rk ON rk.score = sc.score
 
 def evaluate(ranked: DataFrame, flag_col: str = "is_error") -> DataFrame:
     """1-row metrics DataFrame over a ranked, error-flagged fact table."""
-    n = ranked.count()
+    from kgspark.ordering import _is_materialized
+    from kgspark.util import materialize
+
+    # the ranked table feeds the error-subset ordinal AND the AUC
+    # threshold grouping (two separate scans) — checkpoint non-trivial
+    # lineage once
+    if not _is_materialized(ranked):
+        ranked = materialize(ranked)
     errs = ranked.where(F.col(flag_col))
     # filtered rank = rank - (# errors ranked before it); the error subset
     # is p_error · |facts| — far too big for one partition at scale, so the
@@ -78,14 +85,20 @@ def evaluate(ranked: DataFrame, flag_col: str = "is_error") -> DataFrame:
         F.avg("f_rank").alias("f_mean_rank"),
         F.avg(1.0 / F.col("f_rank")).alias("f_mrr"),
         F.count("*").alias("n_errors"),
-    ).withColumn("n_facts", F.lit(n).cast("long"))
+    )
 
-    aucs = auc_metrics(ranked, flag_col)
-    return base.crossJoin(aucs)
+    # n_facts rides along in the AUC aggregate (sum of the per-score group
+    # counts == |ranked|) instead of a dedicated count() pass over the
+    # full fact table.
+    aucs = auc_metrics(ranked, flag_col, with_n_facts=True)
+    return base.crossJoin(aucs).select(
+        "mean_rank", "mrr", "f_mean_rank", "f_mrr", "n_errors", "n_facts",
+        "roc_auc", "pr_auc")
 
 
 def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
-                score_col: str = "score") -> DataFrame:
+                score_col: str = "score",
+                with_n_facts: bool = False) -> DataFrame:
     """ROC-AUC + PR-AUC of (low score ⇒ error), via threshold groups.
 
     Grouping by distinct score keeps the math exact; the ascending-score
@@ -112,7 +125,7 @@ def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
     p_prev = F.when(F.col("cum_c") - F.col("c") > 0,
                     (F.col("cum_e") - F.col("e")) * 1.0
                     / (F.col("cum_c") - F.col("c"))).otherwise(F.lit(1.0))
-    return g.agg(
+    aggs = [
         (
             1.0
             - (
@@ -124,7 +137,10 @@ def auc_metrics(scored: DataFrame, flag_col: str = "is_error",
         (
             F.sum(F.col("e") * (p_cur + p_prev) / 2.0) / F.sum("e")
         ).alias("pr_auc"),
-    )
+    ]
+    if with_n_facts:
+        aggs.append(F.sum("c").cast("long").alias("n_facts"))
+    return g.agg(*aggs)
 
 
 # ---------------------------------------------------------------- SQL (oracle)

@@ -291,7 +291,8 @@ def ivf_centroids(emb: DataFrame, n_centroids: int | None = None) -> DataFrame:
 
 
 def ivf_centroids_refined(emb: DataFrame,
-                          n_centroids: int | None = None) -> DataFrame:
+                          n_centroids: int | None = None,
+                          d: int | None = DIM) -> DataFrame:
     """→ (cid, cvec): ONE Lloyd refinement pass over the hash-picked
     seed centroids — assign every corpus vector to its nearest seed
     (top-1 cosine, the same broadcast map as the list build), then
@@ -308,7 +309,14 @@ def ivf_centroids_refined(emb: DataFrame,
     cluster (self-cosine 1), so clusters are non-empty."""
     cents = ivf_centroids(emb, n_centroids)
     assign = ivf_assign(emb, cents, nprobe=1)
-    d = len(emb.select("embedding").first()["embedding"])
+    if d is None:
+        # explicit opt-in probe for non-DIM corpora; guards empty input
+        row = emb.select("embedding").first()
+        if row is None:
+            return cents.select(
+                "cid", F.transform(F.col("cvec"),
+                                   lambda x: F.round(x, 6)).alias("cvec"))
+        d = len(row["embedding"])
     mem = assign.join(emb, "vec_id")
     means = mem.groupBy("cid").agg(
         *[F.round(F.avg(F.col("embedding")[i]), 6).alias(f"_m{i}")

@@ -324,14 +324,24 @@ def run_dedup_stream(spark: SparkSession, src_dir: str, out_dir: str,
             expected = spark.read.parquet(src_dir).count()
             ingested, seen_batches, zero_streak = 0, set(), 0
             while q.isActive:
-                lp = q.lastProgress
-                if lp is not None:
+                # recentProgress retains the last ~100 progress events:
+                # every completed batchId is observed even when several
+                # micro-batches finish inside one poll interval (a
+                # lastProgress-only poll can miss data batches, undercount
+                # `ingested`, and let interleaved timeout-eval zero batches
+                # satisfy the zero-streak early — silent truncation).
+                for lp in q.recentProgress:
                     bid = _get(lp, "batchId")
                     rows = _get(lp, "numInputRows")
                     if bid not in seen_batches:
                         seen_batches.add(bid)
                         ingested += rows
+                        # a true CONSECUTIVE-batch streak over the complete
+                        # batchId sequence
                         zero_streak = zero_streak + 1 if rows == 0 else 0
+                lp = q.lastProgress
+                if lp is not None:
+                    rows = _get(lp, "numInputRows")
                     if (ingested >= expected and rows == 0) \
                             or zero_streak >= 3:
                         q.stop()

@@ -29,17 +29,30 @@ def _tree(df) -> str:
     return s.split("\n\n", 1)[0]
 
 
-def test_extract_plan_single_scan_single_python_pass(spark):
-    """The single-scan extraction claim, enforced: one parquet scan, ONE
-    Arrow python pass evaluating both mention detectors, one exchange
-    (the final dedup) — the content column is read once per row."""
+def test_extract_plan_single_scan_no_python(spark):
+    """The single-scan extraction claim, enforced: one parquet scan, one
+    exchange (the final dedup), and — since the default mention
+    detectors are JVM regexp_extract_all — NO Python evaluation node."""
     rf = synth.repo_files(spark, SF_TINY)
     tr = extract.extract_triples(rf, file_mentions=False)
     t = _tree(tr)
     assert t.count("Scan parquet") == 1
-    assert t.count("ArrowEvalPython") == 1
+    assert "ArrowEvalPython" not in t
+    assert "BatchEvalPython" not in t
     assert t.count("Exchange") == 1  # dedup only
     assert "CartesianProduct" not in t
+
+
+def test_extract_pandas_path_single_python_pass(spark):
+    """The opt-in pandas-UDF hook still evaluates both mention detectors
+    in ONE Arrow python pass over a single scan."""
+    rf = synth.repo_files(spark, SF_TINY)
+    tr = extract.extract_triples(rf, use_pandas_udf=True,
+                                 file_mentions=False)
+    t = _tree(tr)
+    assert t.count("Scan parquet") == 1
+    assert t.count("ArrowEvalPython") == 1
+    assert t.count("Exchange") == 1  # dedup only
 
 
 def test_source_column_pruning(spark):
