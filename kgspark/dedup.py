@@ -41,8 +41,13 @@ _SHINGLES_SQL = (
 
 def shingles(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, shingle) distinct word-3-shingles."""
+    from kgspark.util import spread_input
+
+    # single-file sources scan as ONE partition — spread before the
+    # tokenize/explode pass so it parallelizes (no-op on wide scans)
     return (
-        docs.select("doc_id", F.expr(TOKENS_EXPR).alias("tk"))
+        spread_input(docs)
+        .select("doc_id", F.expr(TOKENS_EXPR).alias("tk"))
         .select("doc_id", F.explode(F.expr(_SHINGLES_EXPR)).alias("shingle"))
         .distinct()
     )
@@ -138,8 +143,11 @@ def simhash(docs: DataFrame) -> DataFrame:
     are identical while the (doc_id, token) pre-aggregation shuffle
     disappears; the per-doc groupBy partial-aggregates map-side.
     """
+    from kgspark.util import spread_input
+
     toks = (
-        docs.select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
+        spread_input(docs)
+        .select("doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok"))
         .withColumn("h", phash32([F.col("tok")], "simhash"))
     )
     bit_sums = toks.groupBy("doc_id").agg(*[
@@ -180,6 +188,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         for j in range(4)])
     bd = (sh.select("doc_id", "simhash", F.explode(barr).alias("_bk"))
           .select("doc_id", "simhash", "_bk.band", "_bk.key"))
+    # pin the self-join width: the banded rows are few BYTES, so AQE
+    # coalesces the join to one partition — but each bucket pair costs a
+    # bit_count verify, i.e. the stage is CPU-dense, not byte-dense
+    from kgspark.util import shuffle_parts
+    bd = bd.repartition(shuffle_parts(bd), "band", "key")
     l = bd.select("band", "key", F.col("doc_id").alias("a"),
                   F.col("simhash").alias("ha"))
     r = bd.select("band", "key", F.col("doc_id").alias("b"),

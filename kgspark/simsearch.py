@@ -92,7 +92,11 @@ def with_norm(emb: DataFrame) -> DataFrame:
 
 def ann_bruteforce(emb: DataFrame, k: int = 5, query_mod: int = 25) -> DataFrame:
     """→ (q_id, vec_id, cos, rnk): exact top-k cosine neighbors per query."""
-    e = with_norm(emb)
+    from kgspark.util import spread_input
+
+    # single-file corpus scans as one partition — the O(Q·N·d) dot fold
+    # would run on a single task (guide §2.5)
+    e = with_norm(spread_input(emb))
     q = e.where(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"),
         F.col("norm").alias("qn"))
@@ -154,6 +158,8 @@ def lsh_buckets(emb: DataFrame, n_bands: int = N_BANDS,
                 band_planes: int = BAND_PLANES) -> DataFrame:
     """→ (vec_id, band, key): one hash-table key per band, computed in a
     single columnar projection (posexplode of the per-band key array)."""
+    from kgspark.util import spread_input
+
     planes = lsh_planes(n_bands, band_planes)
     band_keys = []
     for b in range(n_bands):
@@ -163,7 +169,8 @@ def lsh_buckets(emb: DataFrame, n_bands: int = N_BANDS,
             d = _dot(F.col("embedding"), lit)
             key = key + F.when(d > 0, F.lit(1 << r)).otherwise(F.lit(0))
         band_keys.append(key)
-    return emb.select(
+    # bands·planes·d multiply-adds per row — spread a single-file scan
+    return spread_input(emb).select(
         "vec_id", F.posexplode(F.array(*band_keys)).alias("band", "key"))
 
 

@@ -30,6 +30,33 @@ def shuffle_parts(df: DataFrame, default: int = 64) -> int:
         return default
 
 
+def spread_input(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition a narrowly-partitioned source so per-row compute
+    parallelizes (guide §2.5 "input skew: one huge unsplittable file —
+    repartition immediately after the read").
+
+    The fixture ``documents``/``embeddings`` parquet is ONE file with one
+    row group, so every tokenize/hash/dot-product pass downstream of the
+    scan otherwise runs on a single task regardless of cluster width. A
+    many-file corpus (the at-scale shape) already scans wide and is left
+    untouched — the repartition only fires when the source has fewer
+    partitions than the target width, so no shuffle is added at scale.
+
+    The default target grows the split count by at most 8x (capped at the
+    cluster parallelism): measured at sf0.1, fan-outs past ~8 stop paying
+    (repartition + scheduling overhead eats the extra parallelism) while
+    8x already takes the serial hash passes off the critical path; the
+    bound also keeps shuffle block growth linear (guide §2.2).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = parts or min(sc.defaultParallelism, 8 * cur)
+    return df.repartition(target) if cur < target else df
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute and truncate lineage (checkpoint-light).
 

@@ -30,16 +30,17 @@ def _tree(df) -> str:
 
 
 def test_extract_plan_single_scan_no_python(spark):
-    """The single-scan extraction claim, enforced: one parquet scan, one
-    exchange (the final dedup), and — since the default mention
-    detectors are JVM regexp_extract_all — NO Python evaluation node."""
+    """The single-scan extraction claim, enforced: one parquet scan, at
+    most two exchanges (the input spread for single-file fixtures + the
+    final dedup), and — since the default mention detectors are JVM
+    regexp_extract_all — NO Python evaluation node."""
     rf = synth.repo_files(spark, SF_TINY)
     tr = extract.extract_triples(rf, file_mentions=False)
     t = _tree(tr)
     assert t.count("Scan parquet") == 1
     assert "ArrowEvalPython" not in t
     assert "BatchEvalPython" not in t
-    assert t.count("Exchange") == 1  # dedup only
+    assert t.count("Exchange") <= 2  # input spread + dedup
     assert "CartesianProduct" not in t
 
 
@@ -52,7 +53,7 @@ def test_extract_pandas_path_single_python_pass(spark):
     t = _tree(tr)
     assert t.count("Scan parquet") == 1
     assert t.count("ArrowEvalPython") == 1
-    assert t.count("Exchange") == 1  # dedup only
+    assert t.count("Exchange") <= 2  # input spread + dedup
 
 
 def test_source_column_pruning(spark):
