@@ -55,6 +55,32 @@ _DELETES_EXPR = (
 
 MIN_BUCKET_CAP = 64
 
+# Materialized induced-range / object-type-distribution tables shared by
+# the correction operators: correct_errors, type_corrections and the
+# PaTyBRED variant are called back-to-back over the SAME (facts, types)
+# pair (pipeline + bench flows) and each re-derived these aggregates —
+# type_corrections alone instantiated the distribution subtree three
+# times (norms + parts + flip broadcast). Keyed by DataFrame identity
+# with the references held so id() stays stable (the patybred._PATHS_MEMO
+# pattern); everything is re-derived from the inputs on every run.
+_RAN_DIST_MEMO: dict[tuple, tuple] = {}
+
+
+def _shared_ran_dist(facts: DataFrame, types: DataFrame, conf: float):
+    """→ (ran, dist): materialized domran_model(side='o') and
+    ot_dist(side='o') for the given fact/type tables."""
+    from kgspark.scoring import domran_model, ot_dist
+    from kgspark.util import materialize
+
+    key = (id(facts), id(types), conf)
+    hit = _RAN_DIST_MEMO.get(key)
+    if hit is not None and hit[0] is facts and hit[1] is types:
+        return hit[2], hit[3]
+    ran = materialize(domran_model(facts, types, conf, "o"))
+    dist = materialize(ot_dist(facts, types, "o"))
+    _RAN_DIST_MEMO[key] = (facts, types, ran, dist)
+    return ran, dist
+
 
 def auto_max_bucket(n_entities: int) -> int:
     """Scale-default SymSpell hot-bucket cap: max(64, 8·⌈log2 n⌉).
@@ -166,8 +192,6 @@ def correct_errors(
       after a type flip is accepted, correct_errors.py:55-75). Pass
       ``type_corrections(...)`` output to enforce the exclusivity.
     """
-    from kgspark.scoring import domran_model, ot_dist
-
     n = int(ranked.count() * p)
     suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
     if require_multitype:
@@ -187,8 +211,8 @@ def correct_errors(
         "o")
 
     # candidate must carry the relation's induced range type
-    ran = domran_model(facts, types, conf, "o").select(
-        "p", F.col("t").alias("_rt"))
+    ran0, dist = _shared_ran_dist(facts, types, conf)
+    ran = ran0.select("p", F.col("t").alias("_rt"))
     cand = cand.join(F.broadcast(ran), "p").join(
         types.select(F.col("e").alias("o_new"), F.col("t").alias("_rt")),
         ["o_new", "_rt"], "left_semi")
@@ -203,9 +227,6 @@ def correct_errors(
     # consumer subtree
     from kgspark.util import materialize as _mz
     cand = _mz(cand)
-
-    # re-score (s, p, o_new) against the noisy graph's fitted distribution
-    dist = ot_dist(facts, types, "o")
     norms = dist.groupBy("p").agg(
         F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("_nrm"))
     nt = types.groupBy("e").agg(F.count("*").alias("_nt")) \
@@ -272,7 +293,6 @@ def correct_errors_patybred(
     objects would otherwise leave nothing to correct; documented
     deviation); the rich-corpus reference-gate query runs it on."""
     from kgspark import patybred
-    from kgspark.scoring import domran_model
 
     n = int(ranked.count() * p)
     suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
@@ -287,7 +307,7 @@ def correct_errors_patybred(
     cand = suspects.join(
         cands.select(F.col("a").alias("o"), F.col("b").alias("o_new"), "dist"),
         "o")
-    ran = domran_model(facts, types, conf, "o").select(
+    ran = _shared_ran_dist(facts, types, conf)[0].select(
         "p", F.col("t").alias("_rt"))
     cand = cand.join(F.broadcast(ran), "p").join(
         types.select(F.col("e").alias("o_new"), F.col("t").alias("_rt")),
@@ -433,13 +453,11 @@ def type_corrections(
     mechanism (flip to the predictor's output, not unconditionally).
     None = unconditional flip (the pre-predictor simplification).
     """
-    from kgspark.scoring import domran_model, ot_dist
-
     n = int(ranked.count() * p)
     suspects = ranked.where(F.col("rank") <= n).select("s", "p", "o", "score")
 
-    ran = domran_model(facts, types, conf, "o").select(
-        "p", F.col("t").alias("t_new"))
+    ran0, dist = _shared_ran_dist(facts, types, conf)
+    ran = ran0.select("p", F.col("t").alias("t_new"))
     cand = suspects.join(F.broadcast(ran), "p")
     # flip only applies when the object LACKS the predicted type
     cand = cand.join(
@@ -459,7 +477,6 @@ def type_corrections(
     from kgspark.util import materialize as _mz
     cand = _mz(cand)
 
-    dist = ot_dist(facts, types, "o")
     norms = dist.groupBy("p").agg(
         F.sqrt(F.sum(F.col("dist") * F.col("dist"))).alias("_nrm"))
     # LEFT join: a candidate object that lost ALL its type rows
